@@ -1,0 +1,499 @@
+R"""Series algebra and statistics utilities (TPU-native, JAX).
+
+This module provides the capabilities of the reference ``gsum/helpers.py``
+(see /root/reference/gsum/helpers.py) rebuilt on jax.numpy so everything is
+jit/vmap/grad-compatible.  Host-side-only conveniences (decorators, the HPD
+interval search) remain plain Python since they orchestrate, rather than
+perform, numerical work.
+
+Reference parity notes are given per-function as ``reference: file:line``.
+"""
+from __future__ import annotations
+
+import inspect
+from functools import wraps
+from math import gamma as _gamma_fn
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import _config  # noqa: F401  (enables x64)
+from .linalg import cholesky_errors, mahalanobis, pivoted_cholesky, stabilize  # noqa: F401
+
+__all__ = [
+    'cartesian', 'toy_data', 'coefficients', 'partials', 'stabilize', 'geometric_sum',
+    'predictions', 'gaussian', 'hpd', 'kl_gauss', 'rbf', 'default_attributes',
+    'cholesky_errors', 'mahalanobis', 'VariogramFourthRoot', 'median_pdf', 'hpd_pdf',
+    'pivoted_cholesky', 'generate_coefficients', 'lazy_property',
+]
+
+
+def cartesian(*arrays):
+    """Makes the Cartesian product of 1d arrays.
+
+    Earlier arrays loop more slowly than later ones; result has shape
+    ``(N_1 * ... * N_p, p)``.  reference: helpers.py:19-33.
+    """
+    N = len(arrays)
+    arrays = [jnp.asarray(a) for a in arrays]
+    return jnp.stack(jnp.meshgrid(*arrays, indexing='ij'), -1).reshape(-1, N)
+
+
+def coefficients(y, ratio, ref=1, orders=None):
+    """Extracts power-series coefficients from partial sums.
+
+    ``c_n = (y_n - y_{n-1}) / (ref * ratio**n)`` with the leading term kept.
+    reference: helpers.py:71-101.
+
+    Parameters
+    ----------
+    y : array, shape = (n_samples, n_curves)
+    ratio : scalar or (n_samples,) array
+    ref : scalar or (n_samples,) array
+    orders : 1d array, optional. Defaults to ``0..n_curves-1``.
+    """
+    y = jnp.asarray(y)
+    if y.ndim != 2:
+        raise ValueError('y must be 2d')
+    if orders is None:
+        orders = jnp.arange(y.shape[-1])
+    orders = jnp.atleast_1d(jnp.asarray(orders))
+    if orders.shape[0] != y.shape[-1]:
+        raise ValueError('partials and orders must have the same length')
+
+    ref = jnp.atleast_1d(jnp.asarray(ref))[:, None]
+    ratio = jnp.atleast_1d(jnp.asarray(ratio))[:, None]
+
+    coeffs = jnp.diff(y, axis=-1)
+    coeffs = jnp.concatenate([y[..., :1], coeffs], axis=-1)
+    return coeffs / (ref * ratio ** orders)
+
+
+def partials(coeffs, ratio, ref=1, orders=None):
+    R"""Partial sums :math:`y_k = y_{ref} \sum_{n=0}^k c_n Q^n` from coefficients.
+
+    Inverse of :func:`coefficients`.  reference: helpers.py:104-146.
+    """
+    coeffs = jnp.asarray(coeffs)
+    if orders is None:
+        orders = jnp.arange(coeffs.shape[-1])
+    orders = jnp.asarray(orders)
+
+    ratio = jnp.atleast_1d(jnp.asarray(ratio))
+    if ratio.ndim == 1:
+        ratio = ratio[:, None]
+    ref = jnp.atleast_1d(jnp.asarray(ref))
+    if ref.ndim == 1:
+        ref = ref[:, None]
+
+    terms = ref * coeffs * ratio ** orders
+    return jnp.cumsum(terms, axis=-1)
+
+
+def geometric_sum(x, start, end, excluded=None):
+    R"""Geometric sum :math:`S = \sum_{i=start}^{end} x^i` with optional excluded orders.
+
+    ``end`` may be ``np.inf`` (requires |x| < 1 for convergence).
+    reference: helpers.py:149-182.
+
+    ``start``/``end``/``excluded`` are static Python ints so the result stays
+    jit-traceable in ``x``.
+    """
+    if end < start:
+        raise ValueError('end must be greater than or equal to start')
+    x = jnp.asarray(x)
+    if np.isinf(end):
+        s = x ** start / (1 - x)
+    else:
+        s = (x ** start - x ** (end + 1)) / (1 - x)
+    if excluded is not None:
+        for n in np.atleast_1d(excluded):
+            if (n >= start) and (n <= end):
+                s = s - x ** n
+    return s
+
+
+def predictions(dist, dob=None):
+    """Mean and optional degree-of-belief intervals of a distribution object.
+
+    reference: helpers.py:206-230.
+    """
+    mean = dist.mean()
+    if dob is not None:
+        dob = jnp.atleast_2d(jnp.asarray(dob)).T
+        interval = jnp.asarray(dist.interval(dob))
+        interval = interval.transpose((1, 0, 2))
+        return mean, jnp.squeeze(interval)
+    return mean
+
+
+def gaussian(X, Xp=None, ls=1):
+    """Gaussian (squared-exponential) correlation function.
+
+    reference: helpers.py:233-251.
+    """
+    X = jnp.asarray(X) * (1.0 / ls)
+    X2 = jnp.sum(X ** 2, axis=1)
+    if Xp is None:
+        Xp = X
+    else:
+        Xp = jnp.asarray(Xp) * (1.0 / ls)
+    Xp2 = jnp.sum(Xp ** 2, axis=1)
+    sqd = -2.0 * X @ Xp.T + (X2[:, None] + Xp2[None, :])
+    sqd = jnp.clip(sqd, 0.0, jnp.inf)
+    return jnp.exp(-0.5 * sqd)
+
+
+def rbf(X, Xp=None, ls=1):
+    """RBF correlation from pairwise Euclidean distances.  reference: helpers.py:254-261."""
+    X = jnp.asarray(X)
+    if Xp is None:
+        Xp = X
+    else:
+        Xp = jnp.asarray(Xp)
+    diff = X[:, None, ...] - Xp[None, ...]
+    dist = jnp.linalg.norm(diff, axis=-1)
+    if ls == 0:
+        return jnp.where(dist == 0, 1., 0.)
+    return jnp.exp(-0.5 * dist ** 2 / ls ** 2)
+
+
+def hpd(dist, alpha, *args):
+    R"""Highest-probability-density interval of a distribution via its ppf.
+
+    Minimizes the interval length over the CDF start point (host-side
+    golden-section refinement of a Nelder-Mead-style search, matching the
+    reference's use of ``scipy.optimize.fmin``).  reference: helpers.py:264-278.
+    """
+    from scipy.optimize import fmin
+
+    if args:
+        dist = dist(*args)
+
+    def interval_length(start_):
+        start_ = float(np.asarray(start_).reshape(())) if np.ndim(start_) else float(start_)
+        return float(dist.ppf(start_ + alpha) - dist.ppf(start_))
+
+    def interval_length_arr(start_):
+        s = float(np.asarray(start_).ravel()[0])
+        return interval_length(s)
+
+    start = fmin(interval_length_arr, 1 - alpha, ftol=1e-8, disp=False)[0]
+    return np.asarray(dist.ppf(np.array([start, alpha + start])))
+
+
+def hpd_pdf(pdf, alpha, x):
+    R"""HPD interval from a tabulated pdf.  reference: helpers.py:281-295.
+
+    Host-side numpy (plotting-path utility): the reference integrates the
+    *compressed* above-threshold samples with the trapezoid rule, which is
+    shape-dynamic and so stays off the jit path.
+    """
+    pdf = np.asarray(pdf)
+    x = np.asarray(x)
+
+    def err_fn(p):
+        prob = np.trapezoid(pdf[pdf >= p], x=x[pdf >= p])
+        return (prob - alpha) ** 2
+
+    heights = np.unique(pdf)
+    errs = np.array([err_fn(h) for h in heights])
+    horizontal = heights[np.argmin(errs)]
+    interval = x[pdf > horizontal]
+    return jnp.array([np.min(interval), np.max(interval)])
+
+
+def median_pdf(pdf, x):
+    R"""Median from a tabulated pdf.  reference: helpers.py:298-307.
+
+    Returns the first grid point where the cumulative trapezoid integral
+    exceeds one half.
+    """
+    pdf = jnp.asarray(pdf)
+    x = jnp.asarray(x)
+    dx = jnp.diff(x)
+    cum = jnp.concatenate([
+        jnp.zeros((1,), pdf.dtype),
+        jnp.cumsum(0.5 * (pdf[1:] + pdf[:-1]) * dx),
+    ])
+    idx = jnp.argmax(cum > 0.5)
+    # If it never exceeds 0.5 the reference returns the last point.
+    idx = jnp.where(jnp.any(cum > 0.5), idx, x.shape[0] - 1)
+    return x[idx]
+
+
+def kl_gauss(mu0, cov0, mu1, cov1=None, chol1=None):
+    R"""KL divergence between two multivariate Gaussians.
+
+    :math:`D_{KL}(N_0 \| N_1)`; exactly one of ``cov1``/``chol1`` must be
+    given.  reference: helpers.py:310-368.
+    """
+    mu0, mu1 = jnp.atleast_1d(jnp.asarray(mu0)), jnp.atleast_1d(jnp.asarray(mu1))
+    cov0 = jnp.atleast_2d(jnp.asarray(cov0))
+    if chol1 is not None and cov1 is None:
+        chol1 = jnp.atleast_2d(jnp.asarray(chol1))
+    elif cov1 is not None and chol1 is None:
+        cov1 = jnp.atleast_2d(jnp.asarray(cov1))
+        chol1 = jnp.linalg.cholesky(stabilize(cov1))
+    else:
+        raise ValueError('Exactly one of cov1 or chol1 must be given.')
+
+    k = cov0.shape[0]
+    _, logdet0 = jnp.linalg.slogdet(cov0)
+    logdet1 = 2 * jnp.sum(jnp.log(jnp.diag(chol1)))
+
+    right_quad = jax.scipy.linalg.solve_triangular(chol1, mu1 - mu0, lower=True)
+    quad = right_quad @ right_quad
+
+    tr_mat = jnp.trace(jax.scipy.linalg.cho_solve((chol1, True), cov0))
+    return 0.5 * (tr_mat + quad - k + logdet1 - logdet0)
+
+
+def general_sqrt_errors(y, mean, sqrt_mat):
+    """Whitened residuals for a general (non-triangular) matrix square root.
+
+    The reference version (helpers.py:508-509) is broken — it passes
+    ``lower=`` to ``np.linalg.solve``.  This is the corrected behavior.
+    """
+    y = jnp.asarray(y)
+    return jnp.linalg.solve(jnp.asarray(sqrt_mat), (y - mean).T).T
+
+
+def toy_data(X, orders, basis=None, corr=None, beta=0, sd=1, ratio=0.5,
+             ref=1, noise=1e-5, rng=None, **corr_kwargs):
+    """Sample toy partial-sum curves from a GP over coefficients.
+
+    reference: helpers.py:36-52 — which passes its (n_orders, n_samples)
+    draws to ``partials`` untransposed and therefore only works when
+    ``len(orders) == len(X)``; here the orientation is corrected so any
+    combination works.  ``rng`` may be a jax PRNG key or int seed
+    (defaults to 0).
+    """
+    coeffs = generate_coefficients(
+        X, size=len(orders), basis=basis, corr=corr, beta=beta, sd=sd,
+        noise=noise, rng=rng, **corr_kwargs)
+    return partials(coeffs=coeffs.T, ratio=ratio, ref=ref, orders=orders)
+
+
+def generate_coefficients(X, size=1, basis=None, corr=None, beta=0, sd=1,
+                          noise=1e-5, rng=None, **corr_kwargs):
+    """Sample GP coefficient curves.  reference: helpers.py:55-68."""
+    X = jnp.asarray(X)
+    if corr is None:
+        corr = gaussian
+    K = sd ** 2 * corr(X, **corr_kwargs)
+    K = K + noise ** 2 * jnp.eye(K.shape[0], dtype=K.dtype)
+
+    if basis is None:
+        basis_mat = jnp.ones((X.shape[0], 1), dtype=K.dtype)
+    else:
+        basis_mat = basis(X)
+    mean = basis_mat @ jnp.atleast_1d(jnp.asarray(beta, dtype=K.dtype))
+
+    if rng is None:
+        rng = 0
+    if isinstance(rng, (int, np.integer)):
+        rng = jax.random.PRNGKey(rng)
+    L = jnp.linalg.cholesky(K)
+    z = jax.random.normal(rng, (size, K.shape[0]), dtype=K.dtype)
+    return mean + z @ L.T
+
+
+def lazy_property(function):
+    R"""Caches a property on first access.  reference: helpers.py:371-386."""
+    attribute = '_cache_' + function.__name__
+
+    @property
+    @wraps(function)
+    def decorator(self):
+        if not hasattr(self, attribute):
+            setattr(self, attribute, function(self))
+        return getattr(self, attribute)
+
+    return decorator
+
+
+def default_attributes(**kws):
+    R"""Fills ``None`` (or empty *args/**kwargs) parameters from instance attributes.
+
+    reference: helpers.py:416-501.  Pure-Python signature-binding utility.
+    """
+    def decorator(function):
+        sig = inspect.signature(function)
+
+        @wraps(function)
+        def new_func(self, *args, **kwargs):
+            bound_args = sig.bind(self, *args, **kwargs)
+            bound_args.apply_defaults()
+            for key, value in bound_args.arguments.items():
+                param = sig.parameters[key]
+                if isinstance(value, (np.ndarray, jnp.ndarray)):
+                    continue
+                default_poskey = value is None and param.kind == param.POSITIONAL_OR_KEYWORD
+                default_key = value is None and param.kind == param.KEYWORD_ONLY
+                default_varpos = value == () and param.kind == param.VAR_POSITIONAL
+                default_varkey = value == {} and param.kind == param.VAR_KEYWORD
+                if (default_poskey or default_key or default_varpos or default_varkey) and key in kws:
+                    bound_args.arguments[key] = getattr(self, kws[key])
+            return function(*bound_args.args, **bound_args.kwargs)
+        return new_func
+    return decorator
+
+
+class VariogramFourthRoot:
+    R"""Empirical semivariogram with 4th-root-transform uncertainty bands.
+
+    Bowman & Crujeiras (2013) / Cressie & Hawkins (1980) estimator.
+    reference: helpers.py:525-730.  The reference's recarray bookkeeping is
+    replaced by dense index arrays; the O(sum_b n_b^2) pair-of-pairs
+    covariance is evaluated as padded, masked batches on device with
+    ``jax.scipy.special.hyp2f1``.
+
+    Parameters
+    ----------
+    X : array, shape = (n_samples, n_features)
+    z : array, shape = (n_samples, [n_curves])
+    bin_bounds : array, shape = (n_bins-1,)
+    """
+
+    mean_factor = np.sqrt(2 / np.pi) * _gamma_fn(0.75)
+    var_factor = 2. / np.pi * (np.sqrt(np.pi) - _gamma_fn(0.75) ** 2)
+    corr_factor = _gamma_fn(0.75) ** 2 / (np.sqrt(np.pi) - _gamma_fn(0.75) ** 2)
+
+    def __init__(self, X, z, bin_bounds):
+        X = np.asarray(X)
+        bin_bounds = np.asarray(bin_bounds)
+        N = len(X)
+        hij = np.linalg.norm(X[:, None, :] - X, axis=-1)
+        bin_grid = np.digitize(hij, bin_bounds)  # NxN
+
+        z = np.atleast_2d(np.asarray(z))
+        Ncurves = z.shape[0]
+        zi = z.T[:, None, :]   # (N, 1, Ncurves)
+        zj = z.T[None, :, :]   # (1, N, Ncurves)
+        dij_grid = np.sqrt(np.abs(zi - zj))  # (N, N, Ncurves)
+
+        # Unique unordered pairs i > j (lower triangle, no diagonal)
+        tri_i, tri_j = np.tril_indices(N, -1)
+        pair_h = hij[tri_i, tri_j]             # (n_pairs,)
+        pair_d = dij_grid[tri_i, tri_j]        # (n_pairs, Ncurves)
+
+        Nb = len(bin_bounds) + 1
+        bin_labels = np.arange(Nb)
+        gamma_star_hat = np.full((Nb, Ncurves), np.nan)
+
+        bin_locations = np.zeros(Nb)
+        bin_locations[1:-1] = (bin_bounds[1:] + bin_bounds[:-1]) / 2
+        bin_locations[0] = 2 * bin_bounds[0] - bin_locations[1]
+        bin_locations[-1] = 2 * bin_bounds[-1] - bin_locations[-2]
+
+        bin_idx = np.digitize(pair_h, bin_bounds)  # (n_pairs,)
+        bin_mask = bin_labels[:, None] == bin_idx  # (Nb, n_pairs)
+        bin_counts = np.sum(bin_mask, axis=-1)
+
+        for b, mask_b in enumerate(bin_mask):
+            if np.any(mask_b):
+                bin_locations[b] = np.average(pair_h[mask_b], axis=0)
+                gamma_star_hat[b] = np.average(pair_d[mask_b], axis=0)
+        gamma_tilde = self.variogram_scale(gamma_star_hat)
+        gamma_tilde_grid = gamma_tilde[bin_grid]  # (N, N, Ncurves)
+        gamma_star_mean = self.mean_factor * gamma_star_hat
+
+        self.N = N
+        self.Nb = Nb
+        self.Ncurves = Ncurves
+        self.pair_i = tri_i
+        self.pair_j = tri_j
+        self.pair_h = pair_h
+        self.pair_d = pair_d
+        self.bin_mask = bin_mask
+        self.bin_idx = bin_idx
+        self.bin_labels = bin_labels
+        self.bin_counts = bin_counts
+        self.bin_locations = bin_locations
+        self.gamma_star_hat = gamma_star_hat
+        self.gamma_star_mean = gamma_star_mean
+        self.gamma_tilde = gamma_tilde
+        self.gamma_tilde_grid = jnp.asarray(gamma_tilde_grid)
+
+    def rho_ijkl(self, i, j, k, l):
+        R"""Correlation between (Z_i - Z_j) and (Z_k - Z_l) via gamma tilde.
+
+        reference: helpers.py:623-633.
+        """
+        gam = self.gamma_tilde_grid
+        i, j, k, l = (jnp.asarray(a) for a in (i, j, k, l))
+        rho = (gam[j, k] + gam[i, l] - gam[i, k] - gam[j, l]) \
+            / (2 * jnp.sqrt(gam[i, j] * gam[k, l]))
+        return rho
+
+    def corr_ijkl(self, i, j, k, l):
+        R"""Correlation of the 4th-root-transformed differences.  reference: helpers.py:635-652."""
+        from jax.scipy.special import hyp2f1
+
+        rho = self.rho_ijkl(i, j, k, l)
+        rho_sq = rho ** 2
+        # hyp2f1 diverges for |rho| >= 1; clamp the argument and overwrite below
+        safe = jnp.clip(rho_sq, 0.0, 1.0 - 1e-12)
+        corr = (1 - rho_sq) * hyp2f1(0.75, 0.75, 0.5, safe) - 1
+        corr = corr * self.corr_factor
+        corr = jnp.where(rho >= 1., 1., corr)
+        corr = jnp.where(rho <= -1., -1., corr)
+        return corr
+
+    def var_ij(self, i, j):
+        R"""Variance of sqrt|Z_i - Z_j| estimated by gamma tilde.  reference: helpers.py:667-669."""
+        i, j = jnp.asarray(i), jnp.asarray(j)
+        return self.var_factor * jnp.sqrt(self.gamma_tilde_grid[i, j])
+
+    def cov_ijkl(self, i, j, k, l):
+        R"""Covariance of 4th-root differences; correlation 1 when (i,j)==(k,l).
+
+        reference: helpers.py:654-665.
+        """
+        i, j, k, l = (jnp.atleast_1d(jnp.asarray(a)) for a in (i, j, k, l))
+        same = ((i == k) & (j == l))[..., None] if self.Ncurves > 1 else (i == k) & (j == l)
+        corr = self.corr_ijkl(i, j, k, l)
+        same_b = jnp.broadcast_to(jnp.reshape((i == k) & (j == l), (i.shape[0],) + (1,) * (corr.ndim - 1)), corr.shape)
+        corr = jnp.where(same_b, 1.0, corr)
+        return corr * jnp.sqrt(self.var_ij(i, j) * self.var_ij(k, l))
+
+    def cov(self, bin1, bin2=None):
+        R"""Average pair-of-pairs covariance between two bins.  reference: helpers.py:671-695."""
+        mask1 = self.bin_mask[bin1]
+        idx1 = np.nonzero(mask1)[0]
+        nb1 = self.bin_counts[bin1]
+        if bin2 is None or bin2 == bin1:
+            nb2, idx2 = nb1, idx1
+        else:
+            nb2 = self.bin_counts[bin2]
+            idx2 = np.nonzero(self.bin_mask[bin2])[0]
+        if (nb1 * nb2) == 0:
+            return 0.
+        i = self.pair_i[idx1][:, None] + np.zeros(len(idx2), dtype=int)
+        j = self.pair_j[idx1][:, None] + np.zeros(len(idx2), dtype=int)
+        k = self.pair_i[idx2][None, :] + np.zeros((len(idx1), 1), dtype=int)
+        l = self.pair_j[idx2][None, :] + np.zeros((len(idx1), 1), dtype=int)
+        i, j, k, l = (a.ravel() for a in (i, j, k, l))
+        cov = jnp.sum(self.cov_ijkl(i, j, k, l), axis=0)
+        return np.asarray(cov) / (nb1 * nb2)
+
+    def variogram_scale(self, x):
+        return (x / self.mean_factor) ** 4
+
+    def fourth_root_scale(self, x):
+        return self.mean_factor * x ** 0.25
+
+    def compute(self, rt_scale=False):
+        R"""Mean semivariogram and approximate 68% bands.  reference: helpers.py:703-730."""
+        gam = self.gamma_star_mean if rt_scale else self.gamma_tilde
+        sd = np.zeros((self.Nb, self.Ncurves))
+        for i in range(self.Nb):
+            sd[i] = np.sqrt(self.cov(i))
+        lower = self.gamma_star_mean - sd
+        upper = self.gamma_star_mean + sd
+        if not rt_scale:
+            lower = self.variogram_scale(lower)
+            upper = self.variogram_scale(upper)
+        return gam, lower, upper

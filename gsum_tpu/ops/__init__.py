@@ -1,0 +1,18 @@
+R"""Performance core: fused/batched TPU kernels (XLA + Pallas).
+
+This package holds the throughput path of the library — batched covariance
+build, blocked Cholesky, and fused MVN log-pdf — sized for the MXU and
+VMEM rather than for API parity.  The correctness path lives in
+``gsum_tpu.linalg``; everything here is validated against it.
+"""
+from .batched import (
+    batched_chol_logpdf,
+    batched_cholesky,
+    batched_mvn_logpdf,
+    rbf_covariance,
+)
+
+__all__ = [
+    'batched_cholesky', 'batched_mvn_logpdf', 'batched_chol_logpdf',
+    'rbf_covariance',
+]

@@ -1,0 +1,12 @@
+R"""Multi-chip execution: mesh construction and sharded batched fits.
+
+The reference is single-process NumPy (SURVEY.md §2c); its implicit
+parallelism axes — curves, observables, hyperparameter grids, and blocked
+linear algebra within one large N — become explicit here as a
+``jax.sharding.Mesh`` with a data axis (independent fits/grid points) and a
+model axis (sharded covariance rows), with XLA inserting the collectives.
+"""
+from .mesh import make_mesh, shard_batch
+from .batched import batched_fit, batched_lml_grid
+
+__all__ = ['make_mesh', 'shard_batch', 'batched_fit', 'batched_lml_grid']

@@ -1,0 +1,166 @@
+R"""Sharded batched fits and hyperparameter-grid likelihood sweeps.
+
+The reference's large-scale patterns are Python loops: a (Q, ls) grid of
+8000 full log-marginal-likelihood evaluations
+(reference: docs/notebooks/correlated_EFT_publication.ipynb cell 53) and
+per-observable refits in the KL diagnostic (diagnostics.py:527-555).  Here
+they are single jitted programs: ``vmap`` over the batch dimension, sharded
+over the mesh's ``'batch'`` axis with ``jax.jit`` + ``NamedSharding`` so XLA
+lays the work across chips and inserts any needed collectives.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from .. import _config  # noqa: F401
+from .. import conjugate as _conj
+from ..linalg import logdet_sqrt, solve_sqrt
+from ..models import ConjugateGaussianProcess
+from ..optimize import jit_lbfgs_bounded
+
+__all__ = ['batched_fit', 'batched_lml_grid', 'make_lml_fn', 'BatchedPosterior']
+
+
+def make_lml_fn(kernel, center=0, disp=0, df=1, scale=1, nugget=1e-10,
+                decomposition='cholesky'):
+    """Pure lml function ``(theta, X, y2d, basis) -> scalar`` for a kernel
+    structure and concrete priors (the jit/vmap-able core of CGP)."""
+    frozen = kernel.clone()
+    return ConjugateGaussianProcess._make_lml_fn(
+        frozen.value_fn, nugget, decomposition,
+        np.atleast_1d(center), np.atleast_2d(disp), df, scale)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class BatchedPosterior:
+    """Posterior state for a batch of conjugate-GP fits (a pytree)."""
+    theta: Any
+    lml: Any
+    center: Any
+    disp: Any
+    df: Any
+    scale_sq: Any
+    cov_factor: Any
+    chol: Any
+
+    def tree_flatten(self):
+        return ((self.theta, self.lml, self.center, self.disp, self.df,
+                 self.scale_sq, self.cov_factor, self.chol), None)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+def batched_lml_grid(kernel, X, y, thetas, center=0, disp=0, df=1, scale=1,
+                     nugget=1e-10, mesh=None):
+    R"""Log-marginal likelihood over a grid of kernel hyperparameters.
+
+    Parameters
+    ----------
+    kernel : Kernel — fixes the structure; ``thetas`` supplies the values
+    X : (N, d) inputs; y : (N,) or (N, m) data
+    thetas : (G, n_params) grid of log-parameter vectors
+    mesh : jax.sharding.Mesh, optional — shard the grid over the 'batch' axis
+
+    Returns
+    -------
+    (G,) array of log-marginal likelihoods
+    """
+    lml = make_lml_fn(kernel, center, disp, df, scale, nugget)
+    X = jnp.atleast_2d(jnp.asarray(X))
+    y = jnp.asarray(y)
+    y2 = y[:, None] if y.ndim == 1 else y
+    basis = jnp.ones((X.shape[0], 1), dtype=X.dtype)
+    thetas = jnp.asarray(thetas)
+
+    fn = jax.vmap(lambda th: lml(th, X, y2, basis))
+    if mesh is not None:
+        thetas = jax.device_put(thetas, NamedSharding(mesh, P('batch')))
+        fn = jax.jit(fn, in_shardings=NamedSharding(mesh, P('batch')),
+                     out_shardings=NamedSharding(mesh, P('batch')))
+    else:
+        fn = jax.jit(fn)
+    return fn(thetas)
+
+
+def _fit_one(lml_fn, value_fn, theta0, lower, upper, X, y2, basis,
+             center0, disp0, df0, scale0, nugget, maxiter):
+    """MAP-optimize theta and compute the conjugate posterior for one fit."""
+    def neg(th):
+        return -lml_fn(th, X, y2, basis)
+
+    theta_opt, neg_min = jit_lbfgs_bounded(neg, theta0, lower, upper,
+                                           maxiter=maxiter)
+
+    R = value_fn(theta_opt, X, None)
+    N = X.shape[0]
+    R_reg = R + nugget * jnp.eye(N, dtype=R.dtype)
+    L = jnp.linalg.cholesky(R_reg)
+
+    center = _conj.compute_center(y2, L, basis, center0, disp0)
+    disp = _conj.compute_disp(y2, L, basis, disp0)
+    df = _conj.compute_df(y2, df0)
+    scale_sq = _conj.compute_scale_sq(y2, L, basis, center0, disp0, df0, scale0)
+    cov_factor = _conj.compute_cov_factor(scale_sq, df)
+    return BatchedPosterior(theta=theta_opt, lml=-neg_min, center=center,
+                            disp=disp, df=jnp.asarray(df, dtype=R.dtype),
+                            scale_sq=scale_sq, cov_factor=cov_factor, chol=L)
+
+
+def batched_fit(kernel, X, y_batch, center=0, disp=0, df=1, scale=1,
+                nugget=1e-10, maxiter=100, theta0=None, mesh=None):
+    R"""MAP-fit a ConjugateGaussianProcess independently to each batch element.
+
+    Replaces Python loops of ``gp.fit`` (e.g. the KL diagnostic's 1000
+    refits, reference diagnostics.py:527-555) with one jitted, vmapped, and
+    optionally mesh-sharded program.
+
+    Parameters
+    ----------
+    kernel : Kernel — structure + initial theta + bounds
+    X : (N, d) shared inputs
+    y_batch : (B, N) or (B, N, m) — independent data sets
+    mesh : optional Mesh — shard B over the 'batch' axis
+
+    Returns
+    -------
+    BatchedPosterior with leading batch dimension B
+    """
+    lml = make_lml_fn(kernel, center, disp, df, scale, nugget)
+    frozen = kernel.clone()
+    X = jnp.atleast_2d(jnp.asarray(X))
+    y_batch = jnp.asarray(y_batch)
+    if y_batch.ndim == 2:
+        y_batch = y_batch[:, :, None]
+    basis = jnp.ones((X.shape[0], 1), dtype=X.dtype)
+
+    dtype = jnp.result_type(X.dtype, float)
+    if theta0 is None:
+        theta0 = jnp.asarray(kernel.theta, dtype=dtype)
+    bounds = np.asarray(kernel.bounds, dtype=float)
+    lower = jnp.asarray(bounds[:, 0], dtype=dtype)
+    upper = jnp.asarray(bounds[:, 1], dtype=dtype)
+
+    c0 = np.atleast_1d(center)
+    V0 = np.atleast_2d(disp)
+
+    def one(y2):
+        return _fit_one(lml, frozen.value_fn, theta0, lower, upper, X, y2,
+                        basis, c0, V0, df, scale, nugget, maxiter)
+
+    fn = jax.vmap(one)
+    if mesh is not None:
+        y_batch = jax.device_put(y_batch, NamedSharding(mesh, P('batch')))
+        fn = jax.jit(fn, in_shardings=NamedSharding(mesh, P('batch')))
+    else:
+        fn = jax.jit(fn)
+    return fn(y_batch)
