@@ -1,0 +1,116 @@
+"""Benchmark: batched covariance-build + Cholesky + MVN-logpdf throughput.
+
+The headline metric from BASELINE.md: batched N=4096 Cholesky + MVN-logpdf
+GFLOP/s on TPU.  The baseline is the same workload executed the way the
+reference library executes it — float64 NumPy/SciPy on LAPACK, one matrix
+at a time (reference: gsum/models.py:957-1039 per-lml pipeline) — so
+``vs_baseline`` is the end-to-end speedup of this library's TPU path over
+the reference's compute stack.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+os.environ.setdefault("GSUM_TPU_NO_X64", "")  # x64 on, but arrays are f32
+
+
+def flops_chol_logpdf(B, N, d, m):
+    """FLOP count for covariance build + Cholesky + triangular solve + logdet."""
+    cov = B * (2.0 * N * N * d + 6.0 * N * N)   # sqdist matmul + elementwise+exp
+    chol = B * (N ** 3) / 3.0
+    solve = B * (2.0 * N * N * m)               # one triangular solve pair
+    return cov + chol + solve
+
+
+def bench_tpu(B, N, d, m, repeats=3, chain=4):
+    import jax
+    import jax.numpy as jnp
+
+    from gsum_tpu.ops import batched_chol_logpdf
+
+    rng = np.random.RandomState(0)
+    X = jnp.asarray(rng.rand(B, N, d), dtype=jnp.float32)
+    y = jnp.asarray(rng.randn(B, N, m), dtype=jnp.float32)
+
+    # NOTE: on this tunneled TPU platform block_until_ready does not
+    # synchronize; only a host transfer does.  Time `chain` queued
+    # executions per measurement and sync with a scalar fetch, subtracting
+    # the measured fetch latency.
+    fn = jax.jit(lambda X, y: jnp.sum(batched_chol_logpdf(X, y, 0.25, 1.0, 1e-2)))
+    out = fn(X, y)
+    assert np.isfinite(float(out)), 'non-finite logpdf'  # compile + warmup
+
+    lat = []
+    tiny = jax.jit(lambda y: jnp.sum(y[0, 0]))
+    float(tiny(y))
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(tiny(y))
+        lat.append(time.perf_counter() - t0)
+    latency = min(lat)
+
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        acc = 0.0
+        for _ in range(chain):
+            acc = acc + float(fn(X, y))
+        times.append(time.perf_counter() - t0)
+    dt = max((min(times) - chain * latency) / chain, 1e-9)
+    return flops_chol_logpdf(B, N, d, m) / dt / 1e9
+
+
+def bench_reference_stack(N, d, m, repeats=2, n_mats=2):
+    """The reference's execution model: sequential f64 LAPACK calls."""
+    import scipy.linalg as sla
+
+    rng = np.random.RandomState(1)
+    X = rng.rand(n_mats, N, d)
+    y = rng.randn(n_mats, N, m)
+
+    def one(Xi, yi):
+        Xs = Xi / 0.25
+        sq = np.sum(Xs * Xs, axis=-1)
+        d2 = sq[:, None] + sq[None, :] - 2.0 * Xs @ Xs.T
+        K = np.exp(-0.5 * np.maximum(d2, 0.0))
+        K[np.diag_indices_from(K)] += 1e-2
+        L = np.linalg.cholesky(K)
+        w = sla.solve_triangular(L, yi, lower=True)
+        maha = np.sum(w * w, axis=0)
+        logdet = 2.0 * np.sum(np.log(np.diag(L)))
+        return -0.5 * (maha + logdet + N * np.log(2 * np.pi))
+
+    # warmup
+    one(X[0], y[0])
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for i in range(n_mats):
+            one(X[i], y[i])
+        times.append(time.perf_counter() - t0)
+    dt = min(times) / n_mats  # per matrix
+    return flops_chol_logpdf(1, N, d, m) / dt / 1e9
+
+
+def main():
+    B, N, d, m = 16, 4096, 2, 8
+    if os.environ.get('GSUM_BENCH_SMALL'):
+        B, N = 4, 1024
+
+    gflops = bench_tpu(B, N, d, m)
+    base_gflops = bench_reference_stack(N, d, m)
+    print(json.dumps({
+        'metric': 'batched_cov_chol_logpdf_N%d_B%d' % (N, B),
+        'value': round(gflops, 2),
+        'unit': 'GFLOP/s',
+        'vs_baseline': round(gflops / base_gflops, 2),
+    }))
+
+
+if __name__ == '__main__':
+    main()

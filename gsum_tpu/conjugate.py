@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import _config  # noqa: F401
-from .linalg import solve_sqrt
+from .linalg import solve_sqrt, spd_inv, spd_solve
 
 __all__ = [
     'avg_y', 'num_y', 'compute_center', 'compute_disp', 'compute_df',
@@ -78,7 +78,7 @@ def compute_center(y, sqrt_R, basis, center0, disp0, decomposition='cholesky'):
     invR_y_avg = solve_sqrt(sqrt_R, ybar, decomposition=decomposition)
     disp = compute_disp(y=y, sqrt_R=sqrt_R, basis=basis, disp0=disp0,
                         decomposition=decomposition)
-    factor = jnp.linalg.solve(disp0_m, center0) + ny * basis.T @ invR_y_avg
+    factor = spd_solve(disp0_m, center0) + ny * basis.T @ invR_y_avg
     return disp @ factor
 
 
@@ -90,7 +90,7 @@ def compute_disp(y, sqrt_R, basis, disp0, decomposition='cholesky'):
     disp0 = jnp.atleast_2d(jnp.asarray(disp0, dtype=jnp.result_type(float)))
     ny = num_y(y)
     quad = basis.T @ solve_sqrt(sqrt_R, basis, decomposition=decomposition)
-    return jnp.linalg.inv(jnp.linalg.inv(disp0) + ny * quad)
+    return spd_inv(spd_inv(disp0) + ny * quad)
 
 
 def compute_df(y, df0):
@@ -158,8 +158,8 @@ def compute_scale_sq_v2(y, sqrt_R, basis, center0, disp0, df0, scale0,
                                 disp0=disp0, decomposition=decomposition)
         disp = compute_disp(y=y, sqrt_R=sqrt_R, basis=basis, disp0=disp0,
                             decomposition=decomposition)
-        mean_terms = center0 @ jnp.linalg.solve(disp0_m, center0) \
-            - center @ jnp.linalg.solve(disp, center)
+        mean_terms = center0 @ spd_solve(disp0_m, center0) \
+            - center @ spd_solve(disp, center)
 
     invR_y = solve_sqrt(sqrt_R, y, decomposition=decomposition)
     quad = jnp.trace(y.T @ invR_y)

@@ -16,7 +16,7 @@ import numpy as np
 from . import _config  # noqa: F401
 from . import stats as gstats
 from .helpers import VariogramFourthRoot
-from .linalg import cholesky_errors, mahalanobis, pivoted_cholesky
+from .linalg import cholesky_errors, mahalanobis, pivoted_cholesky, spd_logdet
 
 __all__ = ['Diagnostic', 'GraphicalDiagnostic']
 
@@ -52,11 +52,12 @@ class Diagnostic:
         self.std_udist.random_state = random_state
 
         self._chol = jnp.linalg.cholesky(self.cov)
-        self._pchol = pivoted_cholesky(self.cov)
+        self._pchol, self._piv, _ = pivoted_cholesky(self.cov, return_pivots=True)
 
         e, v = jnp.linalg.eigh(self.cov)
         # Bastos & O'Hagan order eigenvalues largest-to-smallest
         e, v = e[::-1], v[:, ::-1]
+        self._eig_vals, self._eig_vecs = e, v
         self._eig = v @ jnp.diag(jnp.sqrt(e))
 
     def samples(self, n):
@@ -73,12 +74,21 @@ class Diagnostic:
         return cholesky_errors(y.T, self.mean, self._chol).T
 
     def pivoted_cholesky_errors(self, y):
+        # G = P L (row-permuted lower-triangular), so G x = b solves as a
+        # triangular solve of the pivot-gathered rhs — no LU needed (the
+        # TPU backend has no f64 LU).
+        from jax.scipy.linalg import solve_triangular
+
         y = jnp.asarray(y)
-        return jnp.linalg.solve(self._pchol, (y.T - self.mean).T)
+        b = (y.T - self.mean).T
+        L = self._pchol[self._piv]
+        return solve_triangular(L, b[self._piv], lower=True)
 
     def eigen_errors(self, y):
+        # E = V sqrt(e) with orthonormal V, so E^{-1} = diag(1/sqrt(e)) V^T
         y = jnp.asarray(y)
-        return jnp.linalg.solve(self._eig, (y.T - self.mean).T)
+        b = (y.T - self.mean).T
+        return (self._eig_vecs.T @ b) / jnp.sqrt(self._eig_vals)[:, None]
 
     def chi2(self, y):
         return jnp.sum(self.individual_errors(y), axis=0)
@@ -100,7 +110,7 @@ class Diagnostic:
         tr = jnp.trace(cho_solve((chol1, True), c0))
         dist = self.md_squared(m0)
         k = c1.shape[-1]
-        logs = 2 * jnp.sum(jnp.log(jnp.diag(chol1))) - jnp.linalg.slogdet(c0)[-1]
+        logs = 2 * jnp.sum(jnp.log(jnp.diag(chol1))) - spd_logdet(c0)
         return 0.5 * (tr + dist - k + logs)
 
     def credible_interval(self, y, intervals):
@@ -115,7 +125,7 @@ class Diagnostic:
         y2 = jnp.atleast_2d(y.T)  # (n_curves, n_samples)
         # indicator: (n_curves, n_intervals, n_samples)
         ind = (lower[None, :, :] < y2[:, None, :]) & (y2[:, None, :] < upper[None, :, :])
-        dci = jnp.mean(ind, axis=-1)
+        dci = jnp.mean(ind.astype(jnp.result_type(float)), axis=-1)
         if y.ndim == 1:
             dci = jnp.squeeze(dci)
         return dci
@@ -350,8 +360,12 @@ class GraphicalDiagnostic:
         with sns.color_palette(self.colors):
             ss = sns.swarmplot(x=zero, y=label, data=data_df, hue='orders',
                                ax=ax, size=size, linewidth=0.5)
-            positions = ss.collections[0].get_offsets()
-            ss.collections[0].remove()
+            # locate the swarm's point collection (its position in
+            # ax.collections varies across seaborn versions)
+            swarm = next(c for c in reversed(ss.collections)
+                         if len(c.get_offsets()) == len(data))
+            positions = np.asarray(swarm.get_offsets())
+            swarm.remove()
             _, idx, inv = np.unique(data_df[label].values, return_index=True,
                                     return_inverse=True)
             positions = positions[inv]

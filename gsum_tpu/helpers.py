@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import _config  # noqa: F401  (enables x64)
-from .linalg import cholesky_errors, mahalanobis, pivoted_cholesky, stabilize  # noqa: F401
+from .linalg import cholesky_errors, mahalanobis, pivoted_cholesky, spd_logdet, stabilize  # noqa: F401
 
 __all__ = [
     'cartesian', 'toy_data', 'coefficients', 'partials', 'stabilize', 'geometric_sum',
@@ -240,7 +240,7 @@ def kl_gauss(mu0, cov0, mu1, cov1=None, chol1=None):
         raise ValueError('Exactly one of cov1 or chol1 must be given.')
 
     k = cov0.shape[0]
-    _, logdet0 = jnp.linalg.slogdet(cov0)
+    logdet0 = spd_logdet(cov0)
     logdet1 = 2 * jnp.sum(jnp.log(jnp.diag(chol1)))
 
     right_quad = jax.scipy.linalg.solve_triangular(chol1, mu1 - mu0, lower=True)

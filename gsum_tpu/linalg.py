@@ -26,7 +26,7 @@ from . import _config  # noqa: F401  (enables x64)
 __all__ = [
     'stabilize', 'cholesky', 'safe_cholesky', 'cho_solve', 'solve_sqrt',
     'pivoted_cholesky', 'cholesky_errors', 'mahalanobis', 'eigh_sqrt',
-    'logdet_sqrt',
+    'logdet_sqrt', 'spd_solve', 'spd_inv', 'spd_logdet', 'robust_spd_solve',
 ]
 
 
@@ -62,6 +62,68 @@ def safe_cholesky(M):
 def cho_solve(L, b):
     """Solves ``M x = b`` given the lower Cholesky factor of M."""
     return _cho_solve((L, True), b)
+
+
+def spd_solve(M, b):
+    """Solves ``M x = b`` for symmetric positive-definite M via Cholesky.
+
+    XLA's TPU backend has no float64 LU decomposition ("Only F32 and C64
+    types are implemented in LuDecomposition"), so ``jnp.linalg.solve`` is
+    unusable on the x64 path there; every solve in this library is against
+    an SPD matrix, where Cholesky is both supported and better conditioned.
+    """
+    M = jnp.asarray(M)
+    L = jnp.linalg.cholesky(M)
+    return _cho_solve((L, True), jnp.asarray(b))
+
+
+def robust_spd_solve(M, b, jitters=(0.0, 1e-12, 1e-9, 1e-6)):
+    """SPD solve with an escalating relative-jitter ladder.
+
+    Factorizes ``M + j * max(diag(M)) * I`` for each jitter in order and
+    uses the first successful factor (all candidates are computed inside
+    jit; selection is by ``where``).  With a well-conditioned M the j=0
+    factor wins and the result is the plain Cholesky solve; on effectively
+    singular covariances (e.g. the un-nuggeted partial-sum covariance in
+    TruncationProcess.predict, reference models.py:1449) this regularizes
+    instead of returning NaN — the LAPACK-LU path the reference leans on
+    does not exist for f64 on TPU.
+    """
+    M = jnp.asarray(M)
+    b = jnp.asarray(b)
+    n = M.shape[-1]
+    eye = jnp.eye(n, dtype=M.dtype)
+    scale = jnp.max(jnp.diagonal(M, axis1=-2, axis2=-1))
+
+    L_sel = None
+    ok_sel = None
+    for j in jitters:
+        L_j = jnp.linalg.cholesky(M + (j * scale) * eye)
+        ok_j = jnp.all(jnp.isfinite(jnp.diagonal(L_j, axis1=-2, axis2=-1)))
+        if L_sel is None:
+            L_sel, ok_sel = L_j, ok_j
+        else:
+            take = (~ok_sel) & ok_j
+            L_sel = jnp.where(take, L_j, L_sel)
+            ok_sel = ok_sel | ok_j
+    # sanitize in case every ladder step failed so downstream stays finite-safe
+    L_sel = jnp.where(ok_sel, L_sel, eye)
+    x = _cho_solve((L_sel, True), b)
+    return jnp.where(ok_sel, x, jnp.full_like(x, jnp.nan))
+
+
+def spd_inv(M):
+    """Inverse of a symmetric positive-definite matrix via Cholesky."""
+    M = jnp.asarray(M)
+    L = jnp.linalg.cholesky(M)
+    eye = jnp.eye(M.shape[-1], dtype=M.dtype)
+    return _cho_solve((L, True), eye)
+
+
+def spd_logdet(M):
+    """log|M| for symmetric positive-definite M (Cholesky; no LU on TPU f64)."""
+    L = jnp.linalg.cholesky(jnp.asarray(M))
+    return 2.0 * jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), axis=-1)
 
 
 def eigh_sqrt(M):

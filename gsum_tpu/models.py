@@ -31,7 +31,8 @@ from . import _config  # noqa: F401
 from . import conjugate as _conj
 from .helpers import coefficients, geometric_sum, hpd
 from .kernels import RBF, ConstantKernel, Kernel
-from .linalg import eigh_sqrt, logdet_sqrt, safe_cholesky, solve_sqrt
+from .linalg import (eigh_sqrt, logdet_sqrt, robust_spd_solve, safe_cholesky,
+                     solve_sqrt, spd_logdet, spd_solve)
 from .optimize import ConvergenceWarning, scipy_lbfgsb
 
 # Host-side f64 constant: jnp transcendentals of bare Python scalars
@@ -665,8 +666,7 @@ class ConjugateStudentProcess(BaseConjugateProcess):
             (reference models.py:1241-1247)."""
             norm = gammaln(df_ / 2.) - df_ / 2. * jnp.log(df_ * scale_sq_ / 2.)
             if not disp_zero:
-                sign, log_det = jnp.linalg.slogdet(2 * jnp.pi * disp_)
-                norm = norm + 0.5 * log_det
+                norm = norm + 0.5 * spd_logdet(2 * jnp.pi * disp_)
             return norm
 
         def lml_fn(theta, X, y, basis):
@@ -838,10 +838,10 @@ class TruncationProcess:
             K_no = K_on.T
             K_nn = self.cov(start=0, end=order, X=X, Xp=X)
 
-            alpha = jnp.linalg.solve(K_oo, y - m_old)
+            alpha = robust_spd_solve(K_oo, y - m_old)
             m_pred = m_pred + m_new + K_no @ alpha
             if return_std or return_cov:
-                K_pred = K_pred + K_nn - K_no @ jnp.linalg.solve(K_oo, K_on)
+                K_pred = K_pred + K_nn - K_no @ robust_spd_solve(K_oo, K_on)
 
         if kind in ('both', 'trunc'):
             m_new_trunc = self.mean(X=X, start=order + 1, end=np.inf)
@@ -854,11 +854,11 @@ class TruncationProcess:
                 K_on_trunc = self.cov(X=X_trunc, Xp=X, start=order + 1, end=np.inf)
                 K_no_trunc = K_on_trunc.T
 
-                alpha_trunc = jnp.linalg.solve(K_oo_trunc, (jnp.asarray(self.dy_) - m_old_trunc))
+                alpha_trunc = robust_spd_solve(K_oo_trunc, (jnp.asarray(self.dy_) - m_old_trunc))
                 m_pred = m_pred + m_new_trunc + K_no_trunc @ alpha_trunc
                 if return_std or return_cov:
                     K_pred = K_pred + K_nn_trunc \
-                        - K_no_trunc @ jnp.linalg.solve(K_oo_trunc, K_on_trunc)
+                        - K_no_trunc @ robust_spd_solve(K_oo_trunc, K_on_trunc)
             else:
                 m_pred = m_pred + m_new_trunc
                 if return_std or return_cov:
@@ -951,7 +951,7 @@ class TruncationTP(TruncationProcess):
 
             basis_lower_old = self.basis(X=Xc, start=0, end=order)
             basis_lower_new = self.basis(X=X, start=0, end=order)
-            basis_lower = basis_lower_new - K_no @ jnp.linalg.solve(K_oo, basis_lower_old)
+            basis_lower = basis_lower_new - K_no @ robust_spd_solve(K_oo, basis_lower_old)
 
         if kind in ('both', 'trunc'):
             X_trunc = self.dX_
@@ -962,7 +962,7 @@ class TruncationTP(TruncationProcess):
                 basis_trunc_old = self.basis(X=X_trunc, start=order + 1, end=np.inf)
                 basis_trunc_new = self.basis(X=X, start=order + 1, end=np.inf)
                 basis_trunc = basis_trunc_new \
-                    - K_no_trunc @ jnp.linalg.solve(K_oo_trunc, basis_trunc_old)
+                    - K_no_trunc @ robust_spd_solve(K_oo_trunc, basis_trunc_old)
             else:
                 basis_trunc = self.basis(X=X, start=order + 1, end=np.inf)
 
@@ -1146,7 +1146,7 @@ class TruncationPointwise:
 
         def diagnostic(data_, lower_, upper_):
             indicator = (lower_ < data_) & (data_ < upper_)
-            return jnp.average(indicator, axis=1)
+            return jnp.average(indicator.astype(jnp.result_type(float)), axis=1)
 
         D_CI = diagnostic(data, lower, upper)
 

@@ -37,7 +37,10 @@ def rbf_covariance(X, length_scale, amplitude=1.0, noise=0.0):
     """
     Xs = X / length_scale
     sq = jnp.sum(Xs * Xs, axis=-1)
-    d2 = sq[..., :, None] + sq[..., None, :] - 2.0 * Xs @ Xs.T
+    # full-f32 MXU passes: the default bf16 matmul precision perturbs the
+    # distance matrix enough to break positive-definiteness at large N
+    gram = jnp.matmul(Xs, Xs.T, precision=jax.lax.Precision.HIGHEST)
+    d2 = sq[..., :, None] + sq[..., None, :] - 2.0 * gram
     d2 = jnp.maximum(d2, 0.0)
     K = amplitude * jnp.exp(-0.5 * d2)
     if noise is not None:

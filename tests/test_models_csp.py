@@ -1,0 +1,139 @@
+"""ConjugateStudentProcess vs the reference: evidence, cov, predict."""
+import numpy as np
+import pytest
+
+import gsum_tpu as gm
+from _reference import import_reference
+
+gref = import_reference()
+sk = pytest.importorskip('sklearn.gaussian_process.kernels')
+
+
+def f(x):
+    return x * np.sin(x)
+
+
+X = np.atleast_2d([1., 3., 5., 6., 7., 8.]).T
+X2 = np.atleast_2d([2., 4., 5.5, 6.5, 7.5]).T
+y = f(X).ravel()
+
+PRIORS = dict(center=0, disp=1.0, df=3, scale=1.2)
+
+
+def make_pair(fixed=True, **kw):
+    if fixed:
+        ko, kr = gm.RBF(1.0, 'fixed'), sk.RBF(1.0, 'fixed')
+    else:
+        ko, kr = gm.RBF(1.0), sk.RBF(1.0)
+    params = {**PRIORS, **kw}
+    return (gm.ConjugateStudentProcess(kernel=ko, **params),
+            gref.ConjugateStudentProcess(kernel=kr, **params))
+
+
+@pytest.mark.parametrize('decomposition', ['cholesky', 'eig'])
+def test_csp_posterior_parity(decomposition):
+    gp_o, gp_r = make_pair()
+    gp_o.decomposition = decomposition
+    gp_r.decomposition = decomposition
+    gp_o.fit(X, y)
+    gp_r.fit(X, y)
+    for attr in ['center_', 'disp_', 'df_', 'scale_', 'cov_factor_']:
+        np.testing.assert_allclose(np.asarray(getattr(gp_o, attr)),
+                                   np.asarray(getattr(gp_r, attr)),
+                                   atol=1e-9, err_msg=attr)
+
+
+def test_csp_lml_parity():
+    gp_o, gp_r = make_pair()
+    gp_o.fit(X, y)
+    gp_r.fit(X, y)
+    for theta in [np.array([]), None]:
+        lo = float(np.asarray(gp_o.log_marginal_likelihood(np.array([]))))
+        lr = float(gp_r.log_marginal_likelihood(np.array([])))
+        np.testing.assert_allclose(lo, lr, rtol=1e-9)
+
+
+def test_csp_lml_with_free_kernel():
+    ko, kr = gm.RBF(1.0), sk.RBF(1.0)
+    gp_o = gm.ConjugateStudentProcess(kernel=ko, optimizer=None, **PRIORS).fit(X, y)
+    gp_r = gref.ConjugateStudentProcess(kernel=kr, optimizer=None, **PRIORS).fit(X, y)
+    eps = 1e-6
+    for theta in [np.array([0.0]), np.array([0.3]), np.array([-0.4])]:
+        lo, go = gp_o.log_marginal_likelihood(theta, eval_gradient=True)
+        lr = gp_r.log_marginal_likelihood(theta)
+        np.testing.assert_allclose(float(np.asarray(lo)), lr, rtol=1e-9)
+        fd = (gp_r.log_marginal_likelihood(theta + eps)
+              - gp_r.log_marginal_likelihood(theta - eps)) / (2 * eps)
+        np.testing.assert_allclose(float(np.asarray(go)[0]), fd, atol=1e-5)
+
+
+def test_csp_zero_disp_lml_parity():
+    """disp0 = 0 drops the dispersion determinant term (models.py:1244-1246)."""
+    ko, kr = gm.RBF(1.0, 'fixed'), sk.RBF(1.0, 'fixed')
+    gp_o = gm.ConjugateStudentProcess(kernel=ko, disp=0, df=3, scale=1.2).fit(X, y)
+    gp_r = gref.ConjugateStudentProcess(kernel=kr, disp=0, df=3, scale=1.2).fit(X, y)
+    lo = float(np.asarray(gp_o.log_marginal_likelihood(np.array([]))))
+    lr = float(gp_r.log_marginal_likelihood(np.array([])))
+    np.testing.assert_allclose(lo, lr, rtol=1e-9)
+
+
+def test_csp_cov_parity():
+    gp_o, gp_r = make_pair()
+    gp_o.fit(X, y)
+    gp_r.fit(X, y)
+    np.testing.assert_allclose(np.asarray(gp_o.cov(X2)), gp_r.cov(X2), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(gp_o.cov(X2, X)), gp_r.cov(X2, X),
+                               atol=1e-9)
+    # unfitted prior covariance
+    gp_o2, gp_r2 = make_pair()
+    np.testing.assert_allclose(np.asarray(gp_o2.cov(X2)), gp_r2.cov(X2),
+                               atol=1e-12)
+
+
+@pytest.mark.parametrize('decomposition', ['cholesky', 'eig'])
+def test_csp_predict_parity(decomposition):
+    gp_o, gp_r = make_pair()
+    gp_o.decomposition = decomposition
+    gp_r.decomposition = decomposition
+    gp_o.fit(X, y)
+    gp_r.fit(X, y)
+    m_o, s_o = gp_o.predict(X2, return_std=True)
+    m_r, s_r = gp_r.predict(X2, return_std=True)
+    np.testing.assert_allclose(np.asarray(m_o), m_r, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(s_o), s_r, atol=1e-9)
+    m_o, c_o = gp_o.predict(X2, return_cov=True)
+    m_r, c_r = gp_r.predict(X2, return_cov=True)
+    np.testing.assert_allclose(np.asarray(c_o), c_r, atol=1e-9)
+
+
+def test_csp_predict_with_Xc():
+    gp_o, gp_r = make_pair()
+    gp_o.fit(X, y)
+    gp_r.fit(X, y)
+    m_o, c_o = gp_o.predict(X2, return_cov=True, Xc=X[:4], y=y[:4])
+    m_r, c_r = gp_r.predict(X2, return_cov=True, Xc=X[:4], y=y[:4])
+    np.testing.assert_allclose(np.asarray(m_o), m_r, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(c_o), c_r, atol=1e-9)
+
+
+def test_csp_unfitted_predict():
+    gp_o, gp_r = make_pair(df=5)
+    m_o, c_o = gp_o.predict(X2, return_cov=True)
+    m_r, c_r = gp_r.predict(X2, return_cov=True)
+    np.testing.assert_allclose(np.asarray(m_o), m_r, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(c_o), c_r, atol=1e-12)
+
+
+def test_csp_multicurve():
+    rng = np.random.RandomState(0)
+    Y = np.stack([y + 0.1 * rng.randn(len(y)) for _ in range(4)], axis=1)
+    gp_o, gp_r = make_pair()
+    gp_o.fit(X, Y)
+    gp_r.fit(X, Y)
+    for attr in ['center_', 'disp_', 'scale_']:
+        np.testing.assert_allclose(np.asarray(getattr(gp_o, attr)),
+                                   np.asarray(getattr(gp_r, attr)),
+                                   atol=1e-9, err_msg=attr)
+    lo = float(np.asarray(gp_o.log_marginal_likelihood(np.array([]))))
+    lr = float(gp_r.log_marginal_likelihood(np.array([])))
+    np.testing.assert_allclose(lo, lr, rtol=1e-9)

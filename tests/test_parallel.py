@@ -1,0 +1,90 @@
+"""Sharded batched fits and lml grids on the 8-device CPU mesh."""
+import jax
+import numpy as np
+import pytest
+
+import gsum_tpu as gm
+from gsum_tpu.parallel import batched_fit, batched_lml_grid, make_mesh, shard_batch
+
+
+def f(x):
+    return x * np.sin(x)
+
+
+X = np.atleast_2d([1., 3., 5., 6., 7., 8.]).T
+y = f(X).ravel()
+
+
+def test_make_mesh():
+    mesh = make_mesh()
+    assert mesh.devices.size == len(jax.devices())
+    assert mesh.axis_names == ('batch', 'model')
+    mesh2 = make_mesh(n_batch=4, n_model=2)
+    assert mesh2.devices.shape == (4, 2)
+
+
+def test_lml_grid_matches_loop():
+    kernel = gm.ConstantKernel(1.2) * gm.RBF(0.8)
+    thetas = np.stack([np.array([a, b])
+                       for a in [-0.5, 0.0, 0.5]
+                       for b in [-0.3, 0.2]], axis=0)
+    grid = np.asarray(batched_lml_grid(kernel, X, y, thetas, df=3, scale=1.0))
+
+    gp = gm.ConjugateGaussianProcess(kernel=kernel, optimizer=None, df=3,
+                                     scale=1.0)
+    gp.fit(X, y)
+    loop = np.array([float(np.asarray(gp.log_marginal_likelihood(th)))
+                     for th in thetas])
+    np.testing.assert_allclose(grid, loop, rtol=1e-10)
+
+
+def test_lml_grid_sharded():
+    mesh = make_mesh(n_batch=len(jax.devices()), n_model=1)
+    kernel = gm.RBF(0.8)
+    thetas = np.linspace(-1, 1, 16)[:, None]
+    sharded = np.asarray(batched_lml_grid(kernel, X, y, thetas, df=3,
+                                          scale=1.0, mesh=mesh))
+    local = np.asarray(batched_lml_grid(kernel, X, y, thetas, df=3, scale=1.0))
+    np.testing.assert_allclose(sharded, local, rtol=1e-10)
+
+
+def test_batched_fit_matches_individual():
+    rng = np.random.RandomState(0)
+    B = 4
+    y_batch = np.stack([y + 0.1 * rng.randn(len(y)) for _ in range(B)], axis=0)
+    kernel = gm.RBF(1.0, (1e-2, 1e2))
+
+    post = batched_fit(kernel, X, y_batch, df=3, scale=1.0, maxiter=150)
+    assert np.asarray(post.theta).shape == (B, 1)
+
+    for i in range(B):
+        gp = gm.ConjugateGaussianProcess(kernel=kernel, df=3, scale=1.0)
+        gp.fit(X, y_batch[i])
+        # Both optimizers converge to the same MAP to reasonable precision
+        np.testing.assert_allclose(np.asarray(post.theta)[i],
+                                   gp.kernel_.theta, atol=1e-3)
+        np.testing.assert_allclose(float(np.asarray(post.lml[i])),
+                                   float(gp.log_marginal_likelihood_value_),
+                                   rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(post.cov_factor)[i],
+                                   np.asarray(gp.cov_factor_), rtol=1e-4)
+
+
+def test_batched_fit_sharded():
+    mesh = make_mesh(n_batch=len(jax.devices()), n_model=1)
+    rng = np.random.RandomState(1)
+    B = 8
+    y_batch = np.stack([y + 0.1 * rng.randn(len(y)) for _ in range(B)], axis=0)
+    kernel = gm.RBF(1.0, (1e-2, 1e2))
+    post = batched_fit(kernel, X, y_batch, df=3, scale=1.0, maxiter=100,
+                       mesh=mesh)
+    post_local = batched_fit(kernel, X, y_batch, df=3, scale=1.0, maxiter=100)
+    np.testing.assert_allclose(np.asarray(post.theta),
+                               np.asarray(post_local.theta), atol=1e-8)
+
+
+def test_shard_batch_utility():
+    mesh = make_mesh(n_batch=len(jax.devices()), n_model=1)
+    arr = np.arange(16.0).reshape(16, 1)
+    sharded = shard_batch(mesh, arr)
+    np.testing.assert_allclose(np.asarray(sharded), arr)
