@@ -1,0 +1,162 @@
+"""Scripted regressions of the reference's documentation-notebook flows.
+
+The reference's real coverage lives in its notebooks (SURVEY.md §4):
+``docs/notebooks/truncation_recap.ipynb`` (Furnstahl et al. pointwise
+model) and ``docs/notebooks/correlated_EFT_publication.ipynb``
+(arXiv:1904.10581 figures: TruncationGP bands, (Q, ls) joint posterior,
+Lambda_b posteriors, diagnostics).  These tests replay the computational
+core of those flows on real NN-scattering data
+(/root/reference/examples/data/cross_sec_kvnn_41.csv) with both libraries
+and require tight numerical agreement.
+"""
+import numpy as np
+import pytest
+
+import gsum_tpu as gm
+from _reference import import_reference
+
+gref = import_reference()
+sk = pytest.importorskip('sklearn.gaussian_process.kernels')
+
+DATA = '/root/reference/examples/data/cross_sec_kvnn_41.csv'
+
+
+@pytest.fixture(scope='module')
+def scattering():
+    """Total-cross-section style data: partial sums over EFT orders vs energy."""
+    import pandas as pd
+
+    df = pd.read_csv(DATA)
+    sub = df[df['theta'] == 0].iloc[4:64:4]  # 15 energies, away from threshold
+    orders = np.array([0, 2, 3, 4, 5])
+    y = sub[['0', '2', '3', '4', '5']].to_numpy()
+    Q = sub['Q'].to_numpy()
+    E = sub['Energy'].to_numpy()
+    X = (E / E.max())[:, None]
+    ref_scale = y[:, 0].copy()
+    return X, y, orders, Q, ref_scale
+
+
+def test_pointwise_recap_flow(scattering):
+    """truncation_recap.ipynb: pointwise model fit + intervals + evidence."""
+    X, y, orders, Q, ref_scale = scattering
+
+    t_o = gm.TruncationPointwise(df=3, scale=1).fit(y, ratio=Q, ref=ref_scale,
+                                                    orders=orders)
+    t_r = gref.TruncationPointwise(df=3, scale=1).fit(y, ratio=Q,
+                                                      ref=ref_scale,
+                                                      orders=orders)
+    np.testing.assert_allclose(np.asarray(t_o.coeffs_), t_r.coeffs_,
+                               rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(t_o.scale_), t_r.scale_, rtol=1e-10)
+    iv_o = np.asarray(t_o.interval(np.array([0.68, 0.95])))
+    iv_r = np.asarray(t_r.interval(np.array([0.68, 0.95])))
+    np.testing.assert_allclose(iv_o, iv_r, rtol=1e-7)
+
+    # Lambda_b-style evidence sweep over the expansion-parameter scale
+    for lam in [0.8, 1.0, 1.3]:
+        lo = float(np.asarray(t_o.log_likelihood(ratio=Q / lam)))
+        lr = float(t_r.log_likelihood(ratio=Q / lam))
+        np.testing.assert_allclose(lo, lr, rtol=1e-9)
+
+
+def test_correlated_flow_fit_and_bands(scattering):
+    """correlated_EFT_publication.ipynb: TruncationGP fit + truncation bands."""
+    X, y, orders, Q, ref_scale = scattering
+
+    def make(mod, kmod):
+        kernel = kmod.RBF(0.5, (1e-2, 1e2))
+        return mod.TruncationGP(
+            kernel=kernel, ratio=np.mean(Q), ref=float(np.mean(ref_scale)),
+            center=0, disp=0, df=3, scale=1, nugget=1e-8)
+
+    t_o = make(gm, gm).fit(X, y, orders=orders)
+    t_r = make(gref, sk).fit(X, y, orders=orders)
+
+    np.testing.assert_allclose(t_o.coeffs_process.kernel_.theta,
+                               t_r.coeffs_process.kernel_.theta, atol=1e-5)
+
+    # pin both models to OUR MAP theta so band comparison is exact
+    theta = t_o.coeffs_process.kernel_.theta
+    t_r.coeffs_process.kernel_.theta = theta
+    t_r.coeffs_process.fit(np.asarray(X), np.asarray(t_r.coeffs_))
+    t_o.coeffs_process.kernel_.theta = theta
+    t_o.coeffs_process.fit(X, t_o.coeffs_)
+
+    for order in [3, 5]:
+        m_o, s_o = t_o.predict(X, order=order, return_std=True, kind='trunc')
+        m_r, s_r = t_r.predict(X, order=order, return_std=True, kind='trunc')
+        np.testing.assert_allclose(np.asarray(m_o), np.asarray(m_r),
+                                   rtol=1e-7, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(s_o), np.asarray(s_r),
+                                   rtol=1e-6, atol=1e-9)
+
+
+def test_joint_Q_ls_posterior_grid(scattering):
+    """The notebook's (Q, ls) joint posterior: an lml grid over ratio and
+    length scale (cell 53's 80x100 Python loop, shrunk to 4x5)."""
+    X, y, orders, Q, ref_scale = scattering
+
+    def make(mod, kmod):
+        kernel = kmod.RBF(0.5, (1e-2, 1e2))
+        return mod.TruncationGP(
+            kernel=kernel, ratio=lambda X_, lam=1.0: np.mean(Q) / lam * np.ones(X_.shape[0]),
+            ref=float(np.mean(ref_scale)), center=0, disp=0, df=3, scale=1,
+            nugget=1e-8, optimizer=None)
+
+    t_o = make(gm, gm).fit(X, y, orders=orders)
+    t_r = make(gref, sk).fit(X, y, orders=orders)
+
+    for lam in [0.9, 1.1]:
+        for ls in [0.3, 0.6]:
+            theta = np.log(np.array([ls]))
+            lo = float(np.asarray(t_o.log_marginal_likelihood(theta, lam=lam)))
+            lr = float(t_r.log_marginal_likelihood(theta, lam=lam))
+            np.testing.assert_allclose(lo, lr, rtol=1e-8, err_msg=f'{lam},{ls}')
+
+
+def test_diagnostics_flow(scattering):
+    """Model-checking pipeline on the extracted coefficients (essentials)."""
+    X, y, orders, Q, ref_scale = scattering
+    coeffs = np.asarray(gm.coefficients(y, Q, ref_scale, orders))
+    kernel_o = gm.RBF(0.2, 'fixed')
+    gp = gm.ConjugateGaussianProcess(kernel=kernel_o, disp=0, df=3, scale=1,
+                                     nugget=1e-8).fit(X, coeffs)
+    mean = np.zeros(len(X))
+    # enough jitter that scipy's multivariate_normal accepts the covariance
+    cov = np.asarray(gp.cov(X))
+    cov = cov + 1e-6 * np.max(np.diag(cov)) * np.eye(len(X))
+
+    d_o = gm.Diagnostic(mean=mean, cov=cov)
+    d_r = gref.Diagnostic(mean=mean, cov=cov)
+    np.testing.assert_allclose(np.asarray(d_o.md_squared(coeffs)),
+                               d_r.md_squared(coeffs), rtol=1e-8)
+    # Pivot order differs from LAPACK at near-tie pivots on this matrix
+    # (both factorizations are exact), so compare the pivot-invariant
+    # property: squared pivoted errors sum to the Mahalanobis distance.
+    pc_err = np.asarray(d_o.pivoted_cholesky_errors(coeffs))
+    np.testing.assert_allclose(np.sum(pc_err ** 2, axis=0),
+                               d_r.md_squared(coeffs), rtol=1e-8)
+    ci_o = np.asarray(d_o.credible_interval(coeffs, np.linspace(0.1, 0.9, 5)))
+    ci_r = d_r.credible_interval(coeffs, np.linspace(0.1, 0.9, 5))
+    np.testing.assert_allclose(ci_o, ci_r, atol=1e-10)
+
+
+def test_student_t_flow(scattering):
+    """The publication's Student-t variant: CSP evidence and intervals."""
+    X, y, orders, Q, ref_scale = scattering
+    coeffs = np.asarray(gm.coefficients(y, Q, ref_scale, orders))
+
+    gp_o = gm.ConjugateStudentProcess(kernel=gm.RBF(0.5, 'fixed'), disp=1.0,
+                                      df=3, scale=1, nugget=1e-8).fit(X, coeffs)
+    gp_r = gref.ConjugateStudentProcess(kernel=sk.RBF(0.5, 'fixed'), disp=1.0,
+                                        df=3, scale=1, nugget=1e-8).fit(X, coeffs)
+    lo = float(np.asarray(gp_o.log_marginal_likelihood(np.array([]))))
+    lr = float(gp_r.log_marginal_likelihood(np.array([])))
+    # RBF(0.5) on this grid is ill-conditioned; agreement is limited by
+    # cond(R) * eps, not by implementation differences
+    np.testing.assert_allclose(lo, lr, rtol=1e-7)
+    m_o, s_o = gp_o.predict(X, return_std=True)
+    m_r, s_r = gp_r.predict(X, return_std=True)
+    np.testing.assert_allclose(np.asarray(m_o), np.asarray(m_r), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(s_o), np.asarray(s_r), atol=1e-8)
