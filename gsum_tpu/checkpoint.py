@@ -1,0 +1,127 @@
+R"""Checkpoint / resume for fitted models.
+
+The reference has no persistence story beyond pickling attribute-laden
+objects (SURVEY.md §5).  Here the fitted state of a conjugate process is an
+explicit pytree of arrays plus a static config dict, so it serializes with
+any array store.  Two backends:
+
+- ``save`` / ``load``: single-file ``numpy .npz`` + JSON sidecar metadata —
+  no extra dependencies, portable.
+- ``save_orbax`` / ``load_orbax``: orbax-checkpoint directories for
+  ecosystem interop (sharded/async checkpointing), if orbax is installed.
+"""
+from __future__ import annotations
+
+import json
+
+import jax.numpy as jnp
+import numpy as np
+
+from . import _config  # noqa: F401
+
+__all__ = ['state_dict', 'restore_state', 'save', 'load']
+
+# Fitted attributes that form the array state (reference models.py:124-137)
+_ARRAY_FIELDS = [
+    'X_train_', 'y_train_', 'corr_', 'corr_sqrt_', 'center_', 'disp_',
+    'scale_', 'cov_factor_', 'cbar_sq_mean_', 'basis_train_',
+]
+_EIGH_FIELDS = ['_eigh_eig', '_eigh_Q']
+
+
+def state_dict(gp):
+    """Extracts the fitted state of a conjugate process as plain arrays.
+
+    Returns (arrays, meta): a dict of numpy arrays and a JSON-serializable
+    metadata dict (kernel structure + hyperparameters + priors).
+    """
+    if not getattr(gp, '_fit', False):
+        raise ValueError('Model must be fitted before checkpointing')
+    arrays = {}
+    for f in _ARRAY_FIELDS:
+        v = getattr(gp, f, None)
+        if v is not None:
+            arrays[f] = np.asarray(v)
+    if gp._eigh_tuple_ is not None:
+        arrays['_eigh_eig'] = np.asarray(gp._eigh_tuple_[0])
+        arrays['_eigh_Q'] = np.asarray(gp._eigh_tuple_[1])
+
+    meta = {
+        'class': type(gp).__name__,
+        'kernel_repr': repr(gp.kernel_),
+        'kernel_theta': np.asarray(gp.kernel_.theta).tolist(),
+        'df_': float(gp.df_),
+        'log_marginal_likelihood_value_': (
+            float(np.asarray(gp.log_marginal_likelihood_value_))
+            if gp.log_marginal_likelihood_value_ is not None else None),
+        'priors': {
+            'center0': np.asarray(gp.center0).tolist(),
+            'disp0': np.asarray(gp.disp0).tolist(),
+            'df0': 'inf' if np.isinf(gp.df0) else float(gp.df0),
+            'scale0': float(gp.scale0),
+        },
+        'nugget': float(gp.nugget),
+        'decomposition': gp.decomposition,
+    }
+    return arrays, meta
+
+
+def restore_state(gp, arrays, meta):
+    """Restores fitted state into a compatible (unfitted) model instance.
+
+    The caller constructs ``gp`` with the same constructor arguments
+    (kernel structure, priors); this fills in the fitted attributes and
+    marks the model as fitted.
+    """
+    kernel = gp.kernel if gp.kernel is not None else gp._default_kernel
+    gp.kernel_ = kernel.clone()
+    theta = np.asarray(meta['kernel_theta'], dtype=float)
+    if theta.size:
+        gp.kernel_.theta = theta
+    for f in _ARRAY_FIELDS:
+        if f in arrays:
+            setattr(gp, f, jnp.asarray(arrays[f]))
+    gp.corr_L_ = gp.corr_sqrt_
+    if '_eigh_eig' in arrays:
+        gp._eigh_tuple_ = (jnp.asarray(arrays['_eigh_eig']),
+                           jnp.asarray(arrays['_eigh_Q']))
+    gp.df_ = meta['df_']
+    if meta.get('log_marginal_likelihood_value_') is not None:
+        gp.log_marginal_likelihood_value_ = meta['log_marginal_likelihood_value_']
+    gp._fit = True
+    return gp
+
+
+def save(path, gp):
+    """Saves a fitted model to ``<path>.npz`` (arrays + embedded metadata)."""
+    arrays, meta = state_dict(gp)
+    np.savez_compressed(path, __meta__=json.dumps(meta), **arrays)
+
+
+def load(path, gp):
+    """Loads fitted state saved by :func:`save` into model instance ``gp``."""
+    with np.load(path if str(path).endswith('.npz') else str(path) + '.npz',
+                 allow_pickle=False) as data:
+        meta = json.loads(str(data['__meta__']))
+        arrays = {k: data[k] for k in data.files if k != '__meta__'}
+    return restore_state(gp, arrays, meta)
+
+
+def save_orbax(path, gp):
+    """Saves via orbax-checkpoint (directory format)."""
+    import orbax.checkpoint as ocp
+
+    arrays, meta = state_dict(gp)
+    ckpt = ocp.PyTreeCheckpointer()
+    ckpt.save(path, {'arrays': {k: jnp.asarray(v) for k, v in arrays.items()},
+                     'meta_json': json.dumps(meta)}, force=True)
+
+
+def load_orbax(path, gp):
+    """Loads an orbax checkpoint saved by :func:`save_orbax`."""
+    import orbax.checkpoint as ocp
+
+    ckpt = ocp.PyTreeCheckpointer()
+    data = ckpt.restore(path)
+    meta = json.loads(data['meta_json'])
+    return restore_state(gp, data['arrays'], meta)

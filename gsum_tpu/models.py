@@ -285,7 +285,8 @@ class BaseConjugateProcess:
         return value, value_and_grad
 
     @staticmethod
-    def _make_lml_fn(value_fn, nugget, decomposition, center0, disp0, df0, scale0):
+    def _make_lml_fn(value_fn, nugget, decomposition, center0, disp0, df0,
+                     scale0, chol_fn=None):
         raise NotImplementedError
 
     def log_marginal_likelihood(self, theta=None, eval_gradient=False, X=None, y=None):
@@ -513,15 +514,24 @@ class BaseConjugateProcess:
         return jnp.hstack(samples)
 
 
-def _safe_sqrt_R(R_reg, decomposition):
+def _safe_sqrt_R(R_reg, decomposition, chol_fn=None):
     """Factorizes R with a success flag; re-factorizes a sanitized matrix so
-    downstream gradients stay NaN-free when the factorization fails."""
+    downstream gradients stay NaN-free when the factorization fails.
+
+    ``chol_fn`` overrides the Cholesky implementation (e.g. the batch-
+    vectorized ``ops.smallchol.batched_small_cholesky`` for vmapped
+    hyperparameter grids, where XLA's native batched factorization is
+    ~70x below its large-N throughput).
+    """
     N = R_reg.shape[0]
     eye = jnp.eye(N, dtype=R_reg.dtype)
+    if chol_fn is None:
+        chol_fn = jnp.linalg.cholesky
     if decomposition == 'cholesky':
-        _, ok = safe_cholesky(R_reg)
+        L0 = chol_fn(R_reg)
+        ok = jnp.all(jnp.isfinite(jnp.diagonal(L0, axis1=-2, axis2=-1)), axis=-1)
         R_safe = jnp.where(ok, R_reg, eye)
-        L = jnp.linalg.cholesky(R_safe)
+        L = chol_fn(R_safe)
         return L, ok
     elif decomposition == 'eig':
         eig, Q = eigh_sqrt(R_reg)
@@ -540,13 +550,13 @@ class ConjugateGaussianProcess(BaseConjugateProcess):
     """
 
     @staticmethod
-    def _make_lml_fn(value_fn, nugget, decomposition, center0, disp0, df0, scale0):
+    def _make_lml_fn(value_fn, nugget, decomposition, center0, disp0, df0,
+                     scale0, chol_fn=None):
         def lml_fn(theta, X, y, basis):
             N = X.shape[0]
-            dtype = jnp.result_type(X.dtype, jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
             R = value_fn(theta, X, None)
             R_reg = R + nugget * jnp.eye(N, dtype=R.dtype)
-            sqrt_R, ok = _safe_sqrt_R(R_reg, decomposition)
+            sqrt_R, ok = _safe_sqrt_R(R_reg, decomposition, chol_fn)
 
             df = _conj.compute_df(y=y, df0=df0)
             center = _conj.compute_center(y, sqrt_R, basis, center0=center0,
@@ -655,7 +665,8 @@ class ConjugateStudentProcess(BaseConjugateProcess):
         return pred
 
     @staticmethod
-    def _make_lml_fn(value_fn, nugget, decomposition, center0, disp0, df0, scale0):
+    def _make_lml_fn(value_fn, nugget, decomposition, center0, disp0, df0,
+                     scale0, chol_fn=None):
         from jax.scipy.special import gammaln
 
         disp0_arr = np.atleast_2d(np.asarray(disp0, dtype=float))
@@ -674,7 +685,7 @@ class ConjugateStudentProcess(BaseConjugateProcess):
             ny = y.shape[1]
             R = value_fn(theta, X, None)
             R_reg = R + nugget * jnp.eye(N, dtype=R.dtype)
-            sqrt_R, ok = _safe_sqrt_R(R_reg, decomposition)
+            sqrt_R, ok = _safe_sqrt_R(R_reg, decomposition, chol_fn)
 
             df = _conj.compute_df(y=y, df0=df0)
             disp = _conj.compute_disp(y=y, sqrt_R=sqrt_R, basis=basis,

@@ -11,8 +11,14 @@ from .batched import (
     batched_mvn_logpdf,
     rbf_covariance,
 )
+from .smallchol import (
+    batched_grid_lml,
+    batched_small_cholesky,
+    batched_small_solve_triangular,
+)
 
 __all__ = [
     'batched_cholesky', 'batched_mvn_logpdf', 'batched_chol_logpdf',
-    'rbf_covariance',
+    'rbf_covariance', 'batched_small_cholesky',
+    'batched_small_solve_triangular', 'batched_grid_lml',
 ]

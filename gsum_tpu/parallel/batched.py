@@ -29,13 +29,14 @@ __all__ = ['batched_fit', 'batched_lml_grid', 'make_lml_fn', 'BatchedPosterior']
 
 
 def make_lml_fn(kernel, center=0, disp=0, df=1, scale=1, nugget=1e-10,
-                decomposition='cholesky'):
+                decomposition='cholesky', chol_fn=None):
     """Pure lml function ``(theta, X, y2d, basis) -> scalar`` for a kernel
     structure and concrete priors (the jit/vmap-able core of CGP)."""
     frozen = kernel.clone()
     return ConjugateGaussianProcess._make_lml_fn(
         frozen.value_fn, nugget, decomposition,
-        np.atleast_1d(center), np.atleast_2d(disp), df, scale)
+        np.atleast_1d(center), np.atleast_2d(disp), df, scale,
+        chol_fn=chol_fn)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -75,8 +76,15 @@ def batched_lml_grid(kernel, X, y, thetas, center=0, disp=0, df=1, scale=1,
     -------
     (G,) array of log-marginal likelihoods
     """
-    lml = make_lml_fn(kernel, center, disp, df, scale, nugget)
     X = jnp.atleast_2d(jnp.asarray(X))
+    # Batch-vectorized Cholesky: XLA's native batched factorization is
+    # ~70x below its large-N rate for the small matrices of grid sweeps.
+    chol_fn = None
+    if X.shape[0] <= 512:
+        from ..ops.smallchol import batched_small_cholesky
+        chol_fn = batched_small_cholesky
+    lml = make_lml_fn(kernel, center, disp, df, scale, nugget,
+                      chol_fn=chol_fn)
     y = jnp.asarray(y)
     y2 = y[:, None] if y.ndim == 1 else y
     basis = jnp.ones((X.shape[0], 1), dtype=X.dtype)
@@ -117,7 +125,8 @@ def _fit_one(lml_fn, value_fn, theta0, lower, upper, X, y2, basis,
 
 
 def batched_fit(kernel, X, y_batch, center=0, disp=0, df=1, scale=1,
-                nugget=1e-10, maxiter=100, theta0=None, mesh=None):
+                nugget=1e-10, maxiter=100, theta0=None, mesh=None,
+                n_restarts=0, seed=0):
     R"""MAP-fit a ConjugateGaussianProcess independently to each batch element.
 
     Replaces Python loops of ``gp.fit`` (e.g. the KL diagnostic's 1000
@@ -130,6 +139,11 @@ def batched_fit(kernel, X, y_batch, center=0, disp=0, df=1, scale=1,
     X : (N, d) shared inputs
     y_batch : (B, N) or (B, N, m) — independent data sets
     mesh : optional Mesh — shard B over the 'batch' axis
+    n_restarts : int — additional log-uniform restart points per fit
+        (the vmapped analog of the reference's ``n_restarts_optimizer``,
+        models.py:649-660); the restart fan runs as one extra vmap axis
+        and the best optimum per fit is selected on device.
+    seed : int — PRNG seed for the restart draws
 
     Returns
     -------
@@ -153,9 +167,24 @@ def batched_fit(kernel, X, y_batch, center=0, disp=0, df=1, scale=1,
     c0 = np.atleast_1d(center)
     V0 = np.atleast_2d(disp)
 
+    if n_restarts > 0:
+        if not np.all(np.isfinite(bounds)):
+            raise ValueError('n_restarts > 0 requires finite bounds')
+        key = jax.random.PRNGKey(seed)
+        extra = jax.random.uniform(
+            key, (n_restarts, theta0.shape[0]), dtype=dtype,
+            minval=lower, maxval=upper)
+        starts = jnp.concatenate([theta0[None], extra], axis=0)
+    else:
+        starts = theta0[None]
+
     def one(y2):
-        return _fit_one(lml, frozen.value_fn, theta0, lower, upper, X, y2,
-                        basis, c0, V0, df, scale, nugget, maxiter)
+        def from_start(t0):
+            return _fit_one(lml, frozen.value_fn, t0, lower, upper, X, y2,
+                            basis, c0, V0, df, scale, nugget, maxiter)
+        posts = jax.vmap(from_start)(starts)
+        best = jnp.argmax(posts.lml)
+        return jax.tree_util.tree_map(lambda a: a[best], posts)
 
     fn = jax.vmap(one)
     if mesh is not None:

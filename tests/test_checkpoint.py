@@ -1,0 +1,58 @@
+"""Checkpoint / resume of fitted models."""
+import numpy as np
+import pytest
+
+import gsum_tpu as gm
+from gsum_tpu import checkpoint
+
+
+def f(x):
+    return x * np.sin(x)
+
+
+X = np.atleast_2d([1., 3., 5., 6., 7., 8.]).T
+X2 = np.atleast_2d([2., 4., 5.5]).T
+y = f(X).ravel()
+
+
+def test_save_load_roundtrip(tmp_path):
+    gp = gm.ConjugateGaussianProcess(kernel=gm.RBF(1.0), df=3, scale=1.2)
+    gp.fit(X, y)
+    m0, c0 = gp.predict(X2, return_cov=True)
+
+    path = str(tmp_path / 'model')
+    checkpoint.save(path, gp)
+
+    gp2 = gm.ConjugateGaussianProcess(kernel=gm.RBF(1.0), df=3, scale=1.2)
+    checkpoint.load(path, gp2)
+    assert gp2._fit
+    np.testing.assert_allclose(gp2.kernel_.theta, gp.kernel_.theta)
+    m1, c1 = gp2.predict(X2, return_cov=True)
+    np.testing.assert_allclose(np.asarray(m0), np.asarray(m1), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(c0), np.asarray(c1), atol=1e-12)
+    # posterior accessors recompute identically
+    np.testing.assert_allclose(np.asarray(gp2.scale()), np.asarray(gp.scale()),
+                               atol=1e-12)
+
+
+def test_save_requires_fit(tmp_path):
+    gp = gm.ConjugateGaussianProcess(kernel=gm.RBF(1.0))
+    with pytest.raises(ValueError):
+        checkpoint.save(str(tmp_path / 'model'), gp)
+
+
+def test_eig_decomposition_roundtrip(tmp_path):
+    gp = gm.ConjugateStudentProcess(kernel=gm.RBF(1.0, 'fixed'), df=3,
+                                    scale=1.2, disp=1.0,
+                                    decomposition='eig')
+    gp.fit(X, y)
+    m0, s0 = gp.predict(X2, return_std=True)
+    path = str(tmp_path / 'm2')
+    checkpoint.save(path, gp)
+    gp2 = gm.ConjugateStudentProcess(kernel=gm.RBF(1.0, 'fixed'), df=3,
+                                     scale=1.2, disp=1.0,
+                                     decomposition='eig')
+    checkpoint.load(path, gp2)
+    m1, s1 = gp2.predict(X2, return_std=True)
+    np.testing.assert_allclose(np.asarray(m0), np.asarray(m1), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(s0), np.asarray(s1), atol=1e-12)

@@ -88,3 +88,15 @@ def test_shard_batch_utility():
     arr = np.arange(16.0).reshape(16, 1)
     sharded = shard_batch(mesh, arr)
     np.testing.assert_allclose(np.asarray(sharded), arr)
+
+
+def test_batched_fit_with_restarts():
+    rng = np.random.RandomState(3)
+    B = 3
+    y_batch = np.stack([y + 0.1 * rng.randn(len(y)) for _ in range(B)], axis=0)
+    kernel = gm.RBF(1.0, (1e-2, 1e2))
+    p0 = batched_fit(kernel, X, y_batch, df=3, scale=1.0, maxiter=100)
+    p3 = batched_fit(kernel, X, y_batch, df=3, scale=1.0, maxiter=100,
+                     n_restarts=3)
+    # restarts can only improve (or match) the found optimum
+    assert np.all(np.asarray(p3.lml) >= np.asarray(p0.lml) - 1e-8)
