@@ -54,6 +54,7 @@ from .datasets import make_gaussian_partial_sums_uniform
 from . import stats
 from . import linalg
 from . import checkpoint
+from . import profiling
 from . import ops
 from . import parallel
 

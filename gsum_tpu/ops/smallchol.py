@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from .. import _config  # noqa: F401
 
 __all__ = ['batched_small_cholesky', 'batched_small_solve_triangular',
-           'batched_grid_lml']
+           'batched_small_tri_inv', 'batched_grid_lml']
 
 _HI = jax.lax.Precision.HIGHEST
 
@@ -91,6 +91,39 @@ def batched_small_solve_triangular(L, B, leaf=16):
     B2 = B[..., n1:, :] - jnp.matmul(L21, X1, precision=_HI)
     X2 = batched_small_solve_triangular(L22, B2, leaf)
     return jnp.concatenate([X1, X2], axis=-2)
+
+
+def _leaf_tri_inv(L):
+    """Unrolled inverse of a small lower-triangular block: forward
+    substitution against the identity, n batched row steps."""
+    n = L.shape[-1]
+    eye = jnp.broadcast_to(jnp.eye(n, dtype=L.dtype), L.shape)
+    return _leaf_solve(L, eye)
+
+
+def batched_small_tri_inv(L, leaf=16):
+    R"""Inverse of a batch of lower-triangular matrices, GEMM-recursive.
+
+    ``inv([[L11, 0], [L21, L22]]) = [[M11, 0], [-M22 L21 M11, M22]]`` — the
+    combine step is two batched matmuls, so the row-sequential work is
+    confined to the leaves.  Turning solves into (precomputed-inverse ×
+    rhs) GEMMs is what makes the batched grid-lml path throughput-bound
+    instead of latency-bound.
+    """
+    n = L.shape[-1]
+    if n <= leaf:
+        return _leaf_tri_inv(L)
+    n1 = _split(n)
+    L11 = L[..., :n1, :n1]
+    L21 = L[..., n1:, :n1]
+    L22 = L[..., n1:, n1:]
+    M11 = batched_small_tri_inv(L11, leaf)
+    M22 = batched_small_tri_inv(L22, leaf)
+    M21 = -jnp.matmul(M22, jnp.matmul(L21, M11, precision=_HI), precision=_HI)
+    z12 = jnp.zeros_like(jnp.swapaxes(L21, -1, -2))
+    top = jnp.concatenate([M11, z12], axis=-1)
+    bot = jnp.concatenate([M21, M22], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
 
 
 def batched_small_cholesky(A, leaf=16):

@@ -99,3 +99,61 @@ def test_grid_lml_fast_path_matches_model():
     # long-length-scale grid points are ill-conditioned; recursive vs
     # builtin factorization order differs at the cond(R)*eps level
     np.testing.assert_allclose(grid, loop, rtol=1e-6)
+
+
+def test_cgp_lml_grid_general_priors():
+    """The explicitly-batched lml handles multi-curve y, nonzero disp0,
+    and a 2-column basis identically to the per-theta model path."""
+    import gsum_tpu as gm
+    from gsum_tpu.ops.gridlml import cgp_lml_grid
+
+    X = np.linspace(0, 1, 14)[:, None]
+    Y = np.stack([np.sin(3 * X[:, 0]), np.cos(2 * X[:, 0])], axis=1)
+    basis = np.hstack([np.ones((14, 1)), X])
+    center0 = np.array([0.1, -0.2])
+    disp0 = np.array([[1.5, 0.2], [0.2, 0.8]])
+    df0, scale0, nugget = 3.0, 1.1, 1e-8
+
+    kernel = gm.RBF(0.5)
+    thetas = np.log(np.linspace(0.25, 1.0, 5))[:, None]
+
+    frozen = kernel.clone()
+    Rs = jax.vmap(lambda th: frozen.value_fn(th, jnp.asarray(X), None))(
+        jnp.asarray(thetas))
+    Rs = Rs + nugget * jnp.eye(14)
+    grid = np.asarray(cgp_lml_grid(Rs, jnp.asarray(Y), jnp.asarray(basis),
+                                   center0, disp0, df0, scale0))
+
+    gp = gm.ConjugateGaussianProcess(
+        kernel=kernel, optimizer=None, center=center0, disp=disp0, df=df0,
+        scale=scale0, nugget=nugget,
+        basis=lambda Xa: jnp.hstack([jnp.ones((Xa.shape[0], 1)), Xa]))
+    gp.fit(X, Y)
+    loop = np.array([float(np.asarray(gp.log_marginal_likelihood(th)))
+                     for th in thetas])
+    np.testing.assert_allclose(grid, loop, rtol=1e-8)
+
+
+def test_cgp_lml_grid_failed_cholesky_neg_inf():
+    from gsum_tpu.ops.gridlml import cgp_lml_grid
+
+    K = _spd_batch(3, 10)
+    K[1] = -np.eye(10)  # not PSD
+    y = rng.randn(10, 2)
+    basis = np.ones((10, 1))
+    out = np.asarray(cgp_lml_grid(jnp.asarray(K), jnp.asarray(y),
+                                  jnp.asarray(basis), np.zeros(1),
+                                  np.zeros((1, 1)), 3.0, 1.0))
+    assert np.isfinite(out[0]) and np.isfinite(out[2])
+    assert np.isneginf(out[1])
+
+
+def test_batched_small_tri_inv():
+    from gsum_tpu.ops.smallchol import batched_small_tri_inv
+
+    for N in [8, 24, 80]:
+        K = _spd_batch(4, N)
+        L = np.linalg.cholesky(K)
+        M = np.asarray(batched_small_tri_inv(jnp.asarray(L)))
+        for g in range(4):
+            np.testing.assert_allclose(M[g] @ L[g], np.eye(N), atol=1e-8)
