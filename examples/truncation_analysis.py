@@ -94,25 +94,21 @@ def main():
     print('saved diagnostics.png')
 
     # ------------------------------------------------------------------
-    # 4. (Lambda, ls) joint posterior as a single vmapped grid
+    # 4. (Lambda, ls) joint posterior — the entire surface is ONE device
+    #    program (the reference notebook's 8000-iteration Python loop)
     # ------------------------------------------------------------------
-    from gsum_tpu.parallel import batched_lml_grid
+    from gsum_tpu.parallel import truncation_lml_grid
 
     lams = np.linspace(0.6, 1.6, 24)
     lss = np.linspace(0.2, 1.2, 24)
+    ratios = np.stack([Q / lam for lam in lams])        # (R, N)
+    thetas = np.log(lss)[:, None]
     t0 = time.time()
-    post = np.zeros((len(lams), len(lss)))
-    for i, lam in enumerate(lams):  # ratio changes => new coefficients per lam
-        coeffs_lam = np.asarray(gm.coefficients(y, Q / lam, ref_scale, orders))
-        thetas = np.log(lss)[:, None]
-        lml = np.asarray(batched_lml_grid(
-            gm.RBF(0.5), X, coeffs_lam, thetas, center=0, disp=0, df=3,
-            scale=1, nugget=1e-8))
-        det = len(orders) * np.sum(np.log(np.abs(ref_scale))) \
-            + np.sum(orders) * np.sum(np.log(Q / lam))
-        post[i] = lml - det
+    post = np.asarray(truncation_lml_grid(
+        gm.RBF(0.5), X, y, orders, ratios, thetas, ref=ref_scale,
+        center=0, disp=0, df=3, scale=1, nugget=1e-8)).T   # (lam, ls)
     print(f'{len(lams) * len(lss)} joint-posterior lml evaluations in '
-          f'{time.time() - t0:.2f}s (vmapped over ls, loop over Lambda)')
+          f'{time.time() - t0:.2f}s (single fused device program)')
 
     post = np.exp(post - post.max())
     fig, ax = plt.subplots(figsize=(5, 4))

@@ -23,7 +23,7 @@ import numpy as np
 from .. import _config  # noqa: F401
 from .smallchol import batched_small_cholesky, batched_small_tri_inv
 
-__all__ = ['cgp_lml_grid', 'batched_cho_solve']
+__all__ = ['cgp_lml_grid', 'cgp_lml_grid2', 'batched_cho_solve']
 
 _LOG_2PI = float(np.log(2 * np.pi))
 _HI = jax.lax.Precision.HIGHEST
@@ -135,3 +135,87 @@ def cgp_lml_grid(Rs, y, basis, center0, disp0, df0, scale0, leaf=16):
     logdet_K = N * jnp.log(var) + logdet_R
     lml = -0.5 * (quad_t + m * (logdet_K + N * _LOG_2PI))
     return jnp.where(ok, lml, -jnp.inf)
+
+
+def cgp_lml_grid2(Rs, Ys, basis, center0, disp0, df0, scale0, leaf=16):
+    R"""CGP lml on the outer product of covariance and data grids.
+
+    The reference's joint (Q, ls) posterior loops over both axes in Python
+    (correlated_EFT_publication.ipynb cell 53: 8000 full evaluations);
+    here each correlation matrix is factorized once and applied to every
+    data set with batched GEMMs.
+
+    Parameters
+    ----------
+    Rs : (T, N, N) — correlation matrices (one per kernel-hyperparameter
+        grid point), nugget included
+    Ys : (R, N, m) — data sets (one per ratio/expansion-parameter grid
+        point)
+    basis : (N, p); priors as in :func:`cgp_lml_grid`
+
+    Returns
+    -------
+    (T, R) log-marginal likelihoods
+    """
+    Rs = jnp.asarray(Rs)
+    Ys = jnp.asarray(Ys)
+    basis = jnp.asarray(basis)
+    T, N, _ = Rs.shape
+    R, _, m = Ys.shape
+    p = basis.shape[1]
+    dtype = Rs.dtype
+
+    center0 = jnp.atleast_1d(jnp.asarray(center0, dtype=dtype))
+    disp0_np = np.atleast_2d(np.asarray(disp0, dtype=float))
+    disp0_zero = bool(np.all(disp0_np == 0))
+    df0_inf = bool(np.isinf(df0))
+    if not disp0_zero:
+        raise NotImplementedError(
+            'cgp_lml_grid2 currently supports the delta-mean prior '
+            '(disp0 = 0), which is what the truncation models use')
+
+    L0 = batched_small_cholesky(Rs, leaf)
+    diag = jnp.diagonal(L0, axis1=-2, axis2=-1)
+    ok = jnp.all(jnp.isfinite(diag) & (diag > 0), axis=-1)          # (T,)
+    eye = jnp.eye(N, dtype=dtype)
+    Rs_safe = jax.lax.optimization_barrier(jnp.where(ok[:, None, None], Rs, eye))
+    L = jax.lax.optimization_barrier(batched_small_cholesky(Rs_safe, leaf))
+    Minv = batched_small_tri_inv(L, leaf)                           # (T, N, N)
+
+    # R_t^{-1} y_r for all pairs, via the inverse factor (two GEMM passes)
+    MY = jnp.einsum('tij,rjm->trim', Minv, Ys, precision=_HI)       # (T,R,N,m)
+    invR_Y = jnp.einsum('tji,trjm->trim', Minv, MY, precision=_HI)
+    MB = jnp.matmul(Minv, basis, precision=_HI)                     # (T, N, p)
+    invR_B = jnp.einsum('tji,tjp->tip', Minv, MB, precision=_HI)    # (T, N, p)
+
+    ybar = jnp.mean(Ys, axis=-1)                                    # (R, N)
+    invR_ybar = jnp.mean(invR_Y, axis=-1)                           # (T, R, N)
+
+    df = df0 + N * m
+    center = center0                                                # (p,)
+
+    if df0_inf:
+        scale_sq = jnp.full((T, R), float(scale0) ** 2, dtype=dtype)
+    else:
+        y_c = Ys - ybar[..., None]                                  # (R, N, m)
+        invR_yc = invR_Y - invR_ybar[..., None]
+        quad = jnp.einsum('rnm,trnm->tr', y_c, invR_yc)
+        avg_yc = ybar - (basis @ center0)[None]                     # (R, N)
+        invR_avg_yc = invR_ybar - jnp.einsum('tnp,p->tn', invR_B, center0)[:, None]
+        quad2 = m * jnp.einsum('rn,trn->tr', avg_yc, invR_avg_yc)
+        scale_sq = (df0 * float(scale0) ** 2 + quad + quad2) / df
+
+    var = scale_sq if df0_inf else df * scale_sq / (df - 2)
+
+    mean = basis @ center                                           # (N,)
+    invR_mean = jnp.einsum('tnp,p->tn', invR_B, center)             # (T, N)
+    # quad_t = sum_m (y - mean)^T R^-1 (y - mean) / var
+    ym = Ys - mean[None, :, None]
+    invR_ym = invR_Y - invR_mean[:, None, :, None]
+    quad_t = jnp.einsum('rnm,trnm->tr', ym, invR_ym) / var
+
+    logdet_R = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)),
+                             axis=-1)                               # (T,)
+    logdet_K = N * jnp.log(var) + logdet_R[:, None]
+    lml = -0.5 * (quad_t + m * (logdet_K + N * _LOG_2PI))
+    return jnp.where(ok[:, None], lml, -jnp.inf)

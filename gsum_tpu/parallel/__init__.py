@@ -7,7 +7,8 @@ linear algebra within one large N — become explicit here as a
 model axis (sharded covariance rows), with XLA inserting the collectives.
 """
 from .mesh import make_mesh, shard_batch
-from .batched import BatchedPosterior, batched_fit, batched_lml_grid, make_lml_fn
+from .batched import (BatchedPosterior, batched_fit, batched_lml_grid,
+                      make_lml_fn, truncation_lml_grid)
 
 __all__ = ['make_mesh', 'shard_batch', 'batched_fit', 'batched_lml_grid',
-           'make_lml_fn', 'BatchedPosterior']
+           'truncation_lml_grid', 'make_lml_fn', 'BatchedPosterior']

@@ -25,7 +25,8 @@ from ..linalg import logdet_sqrt, solve_sqrt
 from ..models import ConjugateGaussianProcess
 from ..optimize import jit_lbfgs_bounded
 
-__all__ = ['batched_fit', 'batched_lml_grid', 'make_lml_fn', 'BatchedPosterior']
+__all__ = ['batched_fit', 'batched_lml_grid', 'truncation_lml_grid',
+           'make_lml_fn', 'BatchedPosterior']
 
 
 def make_lml_fn(kernel, center=0, disp=0, df=1, scale=1, nugget=1e-10,
@@ -226,3 +227,82 @@ def batched_fit(kernel, X, y_batch, center=0, disp=0, df=1, scale=1,
     else:
         fn = jax.jit(fn)
     return fn(y_batch)
+
+
+def truncation_lml_grid(kernel, X, y, orders, ratios, thetas, ref=1,
+                        center=0, disp=0, df=1, scale=1, nugget=1e-10,
+                        excluded=None):
+    R"""Joint (ratio, kernel-hyperparameter) log-likelihood surface.
+
+    The reference computes this with a nested Python loop of full
+    ``TruncationProcess.log_marginal_likelihood`` evaluations — 8000 of
+    them for the publication's (Q, ls) posterior
+    (correlated_EFT_publication.ipynb cell 53; reference models.py:1485-1507).
+    Here the whole surface is one device program: coefficients are
+    extracted for every ratio at once, each correlation matrix is
+    factorized once, and every (theta, ratio) pair is evaluated with
+    batched GEMMs, including the change-of-variables determinant.
+
+    Parameters
+    ----------
+    kernel : Kernel — structure for theta
+    X : (N, d); y : (N, n_orders) partial sums
+    orders : (n_orders,) int array
+    ratios : (R,) scalars or (R, N) per-point expansion parameters
+    thetas : (T, n_params) log-parameter grid
+    ref : scalar or (N,) reference scale
+    excluded : orders excluded from the coefficient process
+
+    Returns
+    -------
+    (T, R) array: log p(y | theta_t, ratio_r)
+    """
+    from ..ops.gridlml import cgp_lml_grid2
+
+    X = jnp.atleast_2d(jnp.asarray(X))
+    y = jnp.asarray(y)
+    N = X.shape[0]
+    orders = np.asarray(orders)
+    mask = ~np.isin(orders, excluded)
+    orders_in = orders[mask]
+    n_in = len(orders_in)
+
+    ratios = jnp.asarray(ratios, dtype=y.dtype)
+    if ratios.ndim == 1:
+        ratios = jnp.broadcast_to(ratios[:, None], (ratios.shape[0], N))
+    ref_vec = jnp.broadcast_to(jnp.asarray(ref, dtype=y.dtype), (N,))
+    thetas = jnp.asarray(thetas)
+
+    c0 = np.atleast_1d(center)
+    V0 = np.atleast_2d(disp)
+    frozen = kernel.clone()
+    mask_j = jnp.asarray(np.nonzero(mask)[0])
+    orders_j = jnp.asarray(orders, dtype=y.dtype)
+
+    def fn(ths, rats, Xa, ya, refv):
+        # coefficient extraction for every ratio (reference helpers.py:71-101)
+        diffs = jnp.concatenate([ya[:, :1], jnp.diff(ya, axis=-1)], axis=-1)
+        denom = refv[None, :, None] * rats[:, :, None] ** orders_j[None, None, :]
+        coeffs = (diffs[None] / denom)[:, :, mask_j]               # (R, N, m)
+
+        Rs = jax.vmap(lambda th: frozen.value_fn(th, Xa, None))(ths)
+        Rs = Rs + nugget * jnp.eye(N, dtype=Rs.dtype)
+        Rs = jax.lax.optimization_barrier(Rs)
+
+        basis = jnp.ones((N, 1), dtype=Xa.dtype)
+        lml = cgp_lml_grid2(Rs, coeffs, basis, c0, V0, df, scale)  # (T, R)
+
+        # change-of-variables determinant (reference models.py:1505-1506)
+        det = (n_in * jnp.sum(jnp.log(jnp.abs(refv)))
+               + float(np.sum(orders_in))
+               * jnp.sum(jnp.log(jnp.abs(rats)), axis=-1))         # (R,)
+        return lml - det[None, :]
+
+    key = ('trunc_grid', kernel.structure_key(), c0.tobytes(), V0.tobytes(),
+           float(df), float(scale), float(nugget), mask.tobytes(),
+           orders.tobytes())
+    cached = _GRID_FN_CACHE.get(key)
+    if cached is None:
+        cached = jax.jit(fn)
+        _GRID_FN_CACHE[key] = cached
+    return cached(thetas, ratios, X, y, ref_vec)

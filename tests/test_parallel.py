@@ -100,3 +100,56 @@ def test_batched_fit_with_restarts():
                      n_restarts=3)
     # restarts can only improve (or match) the found optimum
     assert np.all(np.asarray(p3.lml) >= np.asarray(p0.lml) - 1e-8)
+
+
+def test_truncation_lml_grid_matches_model():
+    """The fused (ratio, theta) surface equals the reference-style loop of
+    TruncationGP.log_marginal_likelihood evaluations."""
+    from gsum_tpu.parallel import truncation_lml_grid
+
+    rng = np.random.RandomState(2)
+    N = 12
+    Xg = np.linspace(0.1, 1.0, N)[:, None]
+    orders = np.arange(4)
+    coeffs = np.asarray(gm.generate_coefficients(Xg, size=len(orders), rng=5)).T
+    y_data = np.asarray(gm.partials(coeffs, 0.4, 2.0, orders))
+
+    kernel = gm.RBF(0.3)
+    ratios = np.array([0.3, 0.4, 0.55])
+    thetas = np.log(np.array([0.2, 0.35, 0.6]))[:, None]
+
+    surface = np.asarray(truncation_lml_grid(
+        kernel, Xg, y_data, orders, ratios, thetas, ref=2.0,
+        center=0, disp=0, df=3, scale=1, nugget=1e-8))
+    assert surface.shape == (3, 3)
+
+    for j, r in enumerate(ratios):
+        tgp = gm.TruncationGP(kernel=kernel, ratio=float(r), ref=2.0,
+                              center=0, disp=0, df=3, scale=1, nugget=1e-8,
+                              optimizer=None)
+        tgp.fit(Xg, y_data, orders=orders)
+        for i, th in enumerate(thetas):
+            ref_val = float(np.asarray(tgp.log_marginal_likelihood(th)))
+            np.testing.assert_allclose(surface[i, j], ref_val, rtol=1e-8,
+                                       err_msg=f'theta={th}, ratio={r}')
+
+
+def test_truncation_lml_grid_excluded():
+    from gsum_tpu.parallel import truncation_lml_grid
+
+    N = 10
+    Xg = np.linspace(0.1, 1.0, N)[:, None]
+    orders = np.arange(5)
+    coeffs = np.asarray(gm.generate_coefficients(Xg, size=len(orders), rng=7)).T
+    y_data = np.asarray(gm.partials(coeffs, 0.4, 1.5, orders))
+
+    kernel = gm.RBF(0.3)
+    surface = np.asarray(truncation_lml_grid(
+        kernel, Xg, y_data, orders, np.array([0.4]), np.log([[0.3]]),
+        ref=1.5, df=3, scale=1, nugget=1e-8, excluded=[1]))
+
+    tgp = gm.TruncationGP(kernel=kernel, ratio=0.4, ref=1.5, df=3, scale=1,
+                          nugget=1e-8, optimizer=None, excluded=[1])
+    tgp.fit(Xg, y_data, orders=orders)
+    ref_val = float(np.asarray(tgp.log_marginal_likelihood(np.log([0.3]))))
+    np.testing.assert_allclose(surface[0, 0], ref_val, rtol=1e-8)
