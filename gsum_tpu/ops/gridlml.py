@@ -23,7 +23,8 @@ import numpy as np
 from .. import _config  # noqa: F401
 from .smallchol import batched_small_cholesky, batched_small_tri_inv
 
-__all__ = ['cgp_lml_grid', 'cgp_lml_grid2', 'batched_cho_solve']
+__all__ = ['cgp_lml_grid', 'cgp_lml_grid2', 'csp_lml_grid',
+           'batched_cho_solve']
 
 _LOG_2PI = float(np.log(2 * np.pi))
 _HI = jax.lax.Precision.HIGHEST
@@ -219,3 +220,101 @@ def cgp_lml_grid2(Rs, Ys, basis, center0, disp0, df0, scale0, leaf=16):
     logdet_K = N * jnp.log(var) + logdet_R[:, None]
     lml = -0.5 * (quad_t + m * (logdet_K + N * _LOG_2PI))
     return jnp.where(ok[:, None], lml, -jnp.inf)
+
+
+def csp_lml_grid(Rs, y, basis, center0, disp0, df0, scale0, leaf=16):
+    R"""ConjugateStudentProcess evidence for a batch of correlation matrices.
+
+    The marginalized (mean, variance) evidence of reference
+    models.py:1184-1273 — the ratio of normal-scaled-inverse-χ² normalizers
+    — evaluated batch-first over a hyperparameter grid.
+
+    Parameters/returns as :func:`cgp_lml_grid`.
+    """
+    from jax.scipy.special import gammaln
+
+    Rs = jnp.asarray(Rs)
+    y = jnp.asarray(y)
+    if y.ndim == 1:
+        y = y[:, None]
+    basis = jnp.asarray(basis)
+    G, N, _ = Rs.shape
+    m = y.shape[1]
+    p = basis.shape[1]
+    dtype = Rs.dtype
+
+    center0 = jnp.atleast_1d(jnp.asarray(center0, dtype=dtype))
+    disp0_np = np.atleast_2d(np.asarray(disp0, dtype=float))
+    disp0_zero = bool(np.all(disp0_np == 0))
+    df0_inf = bool(np.isinf(df0))
+
+    L0 = batched_small_cholesky(Rs, leaf)
+    diag = jnp.diagonal(L0, axis1=-2, axis2=-1)
+    ok = jnp.all(jnp.isfinite(diag) & (diag > 0), axis=-1)
+    eye = jnp.eye(N, dtype=dtype)
+    Rs_safe = jax.lax.optimization_barrier(jnp.where(ok[:, None, None], Rs, eye))
+    L = jax.lax.optimization_barrier(batched_small_cholesky(Rs_safe, leaf))
+
+    yB = jnp.concatenate([y, basis], axis=1)
+    invR_yB = batched_cho_solve(L, jnp.broadcast_to(yB[None], (G,) + yB.shape),
+                                leaf)
+    invR_y = invR_yB[..., :m]
+    invR_B = invR_yB[..., m:]
+    ybar = jnp.mean(y, axis=1)
+    invR_ybar = jnp.mean(invR_y, axis=-1)
+
+    df = df0 + y.size
+
+    # posterior dispersion V (reference models.py:233-278)
+    if disp0_zero:
+        disp = None
+        logdet_disp = None
+    else:
+        quad_B = jnp.einsum('np,gnq->gpq', basis, invR_B)
+        disp0_inv = jnp.asarray(np.linalg.inv(disp0_np), dtype=dtype)
+        M = disp0_inv[None] + m * quad_B
+        Lm = batched_small_cholesky(M, leaf)
+        eye_p = jnp.broadcast_to(jnp.eye(p, dtype=dtype), (G, p, p))
+        disp = batched_cho_solve(Lm, eye_p, leaf)
+        # log|V| = -log|V0^{-1} + ny B^T R^-1 B|
+        logdet_disp = -2.0 * jnp.sum(
+            jnp.log(jnp.diagonal(Lm, axis1=-2, axis2=-1)), axis=-1)
+        factor = (disp0_inv @ center0)[None] \
+            + m * jnp.einsum('np,gn->gp', basis, invR_ybar)
+        center = jnp.einsum('gpq,gq->gp', disp, factor)
+
+    # posterior scale (Woodbury form, reference models.py:386-457)
+    if df0_inf:
+        scale_sq = jnp.full((G,), float(scale0) ** 2, dtype=dtype)
+    else:
+        y_c = y - ybar[:, None]
+        invR_yc = invR_y - invR_ybar[..., None]
+        quad = jnp.einsum('nm,gnm->g', y_c, invR_yc)
+        avg_yc = ybar - basis @ center0
+        invR_avg_yc = invR_ybar - jnp.einsum('gnp,p->gn', invR_B, center0)
+        if disp0_zero:
+            quad2 = m * jnp.einsum('n,gn->g', avg_yc, invR_avg_yc)
+        else:
+            u = jnp.einsum('np,gn->gp', basis, invR_avg_yc)
+            w = jnp.einsum('gpq,gq->gp', disp, u)
+            corr = m * jnp.einsum('gnp,gp->gn', invR_B, w)
+            quad2 = m * jnp.einsum('n,gn->g', avg_yc, invR_avg_yc - corr)
+        scale_sq = (df0 * float(scale0) ** 2 + quad + quad2) / df
+
+    # normalizer ratio (reference models.py:1241-1258)
+    log_norm_post = gammaln(df / 2.) - df / 2. * jnp.log(df * scale_sq / 2.)
+    if not disp0_zero:
+        log_norm_post = log_norm_post + 0.5 * (p * _LOG_2PI + logdet_disp)
+
+    from scipy.special import gammaln as gammaln_host
+
+    log_norm_prior = float(gammaln_host(df0 / 2.)
+                           - df0 / 2. * np.log(df0 * float(scale0) ** 2 / 2.))
+    if not disp0_zero:
+        sign, ld0 = np.linalg.slogdet(2 * np.pi * disp0_np)
+        log_norm_prior += 0.5 * float(ld0)
+
+    logdet_R = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)),
+                             axis=-1)
+    lml = log_norm_post - log_norm_prior - m / 2. * (N * _LOG_2PI + logdet_R)
+    return jnp.where(ok, lml, -jnp.inf)

@@ -25,8 +25,8 @@ from ..linalg import logdet_sqrt, solve_sqrt
 from ..models import ConjugateGaussianProcess
 from ..optimize import jit_lbfgs_bounded
 
-__all__ = ['batched_fit', 'batched_lml_grid', 'truncation_lml_grid',
-           'make_lml_fn', 'BatchedPosterior']
+__all__ = ['batched_fit', 'batched_predict', 'batched_lml_grid',
+           'truncation_lml_grid', 'make_lml_fn', 'BatchedPosterior']
 
 
 def make_lml_fn(kernel, center=0, disp=0, df=1, scale=1, nugget=1e-10,
@@ -306,3 +306,40 @@ def truncation_lml_grid(kernel, X, y, orders, ratios, thetas, ref=1,
         cached = jax.jit(fn)
         _GRID_FN_CACHE[key] = cached
     return cached(thetas, ratios, X, y, ref_vec)
+
+
+def batched_predict(kernel, post, X, y_batch, Xnew, mesh=None):
+    R"""Predictive means/stds at ``Xnew`` for every fit in a BatchedPosterior.
+
+    The vmapped analog of ``ConjugateGaussianProcess.predict``
+    (reference models.py:751-845) given the state from :func:`batched_fit`.
+
+    Returns
+    -------
+    (means, stds): ((B, N_new, m), (B, N_new)) arrays
+    """
+    from jax.scipy.linalg import cho_solve as _cho
+
+    frozen = kernel.clone()
+    X = jnp.atleast_2d(jnp.asarray(X))
+    Xnew = jnp.atleast_2d(jnp.asarray(Xnew))
+    y_batch = jnp.asarray(y_batch)
+    if y_batch.ndim == 2:
+        y_batch = y_batch[:, :, None]
+
+    def one(theta, L, center, cov_factor, y2):
+        basis_old = jnp.ones((X.shape[0], 1), dtype=X.dtype)
+        basis_new = jnp.ones((Xnew.shape[0], 1), dtype=X.dtype)
+        m_old = basis_old @ center
+        m_new = basis_new @ center
+        R_on = frozen.value_fn(theta, X, Xnew)
+        alpha = _cho((L, True), y2 - m_old[:, None])
+        m_pred = m_new[:, None] + R_on.T @ alpha
+        R_nn = frozen.value_fn(theta, Xnew, None)
+        R_pred = R_nn - R_on.T @ _cho((L, True), R_on)
+        std = jnp.sqrt(jnp.clip(cov_factor * jnp.diagonal(R_pred), 0.0))
+        return m_pred, std
+
+    fn = jax.vmap(one)
+    fn = jax.jit(fn)
+    return fn(post.theta, post.chol, post.center, post.cov_factor, y_batch)

@@ -157,3 +157,32 @@ def test_batched_small_tri_inv():
         M = np.asarray(batched_small_tri_inv(jnp.asarray(L)))
         for g in range(4):
             np.testing.assert_allclose(M[g] @ L[g], np.eye(N), atol=1e-8)
+
+
+def test_csp_lml_grid_matches_model():
+    import gsum_tpu as gm
+    from gsum_tpu.ops.gridlml import csp_lml_grid
+
+    X = np.linspace(0, 1, 16)[:, None]
+    Y = np.stack([np.sin(3 * X[:, 0]), np.cos(2 * X[:, 0])], axis=1)
+    nugget = 1e-8
+
+    for disp0 in [0.0, 1.3]:
+        kernel = gm.RBF(0.5)
+        thetas = np.log(np.linspace(0.25, 0.9, 5))[:, None]
+        frozen = kernel.clone()
+        Rs = jax.vmap(lambda th: frozen.value_fn(th, jnp.asarray(X), None))(
+            jnp.asarray(thetas))
+        Rs = Rs + nugget * jnp.eye(16)
+        grid = np.asarray(csp_lml_grid(Rs, jnp.asarray(Y),
+                                       jnp.ones((16, 1)), np.zeros(1),
+                                       np.atleast_2d(disp0), 3.0, 1.2))
+
+        gp = gm.ConjugateStudentProcess(kernel=kernel, optimizer=None,
+                                        center=0, disp=disp0, df=3.0,
+                                        scale=1.2, nugget=nugget)
+        gp.fit(X, Y)
+        loop = np.array([float(np.asarray(gp.log_marginal_likelihood(th)))
+                         for th in thetas])
+        np.testing.assert_allclose(grid, loop, rtol=1e-8,
+                                   err_msg=f'disp0={disp0}')

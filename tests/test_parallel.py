@@ -153,3 +153,27 @@ def test_truncation_lml_grid_excluded():
     tgp.fit(Xg, y_data, orders=orders)
     ref_val = float(np.asarray(tgp.log_marginal_likelihood(np.log([0.3]))))
     np.testing.assert_allclose(surface[0, 0], ref_val, rtol=1e-8)
+
+
+def test_batched_predict_matches_model():
+    from gsum_tpu.parallel import batched_predict
+
+    rng = np.random.RandomState(4)
+    B = 3
+    y_batch = np.stack([y + 0.1 * rng.randn(len(y)) for _ in range(B)], axis=0)
+    kernel = gm.RBF(1.0, (1e-2, 1e2))
+    post = batched_fit(kernel, X, y_batch, df=3, scale=1.0, maxiter=150)
+    Xnew = np.atleast_2d([2., 4., 6.5]).T
+    means, stds = batched_predict(kernel, post, X, y_batch, Xnew)
+    assert np.asarray(means).shape == (B, 3, 1)
+    assert np.asarray(stds).shape == (B, 3)
+
+    for i in range(B):
+        gp = gm.ConjugateGaussianProcess(kernel=kernel, df=3, scale=1.0)
+        gp.fit(X, y_batch[i])
+        m_ref, s_ref = gp.predict(Xnew, return_std=True)
+        # same MAP to ~1e-3 in theta, so predictions agree to similar order
+        np.testing.assert_allclose(np.asarray(means)[i, :, 0],
+                                   np.asarray(m_ref), rtol=1e-3, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(stds)[i], np.asarray(s_ref),
+                                   rtol=0.05, atol=1e-3)
