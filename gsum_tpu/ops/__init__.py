@@ -15,10 +15,15 @@ from .smallchol import (
     batched_grid_lml,
     batched_small_cholesky,
     batched_small_solve_triangular,
+    batched_small_tri_inv,
 )
+from .gridlml import batched_cho_solve, cgp_lml_grid, cgp_lml_grid2, csp_lml_grid
+from .pallas_cov import rbf_covariance_pallas
 
 __all__ = [
     'batched_cholesky', 'batched_mvn_logpdf', 'batched_chol_logpdf',
-    'rbf_covariance', 'batched_small_cholesky',
-    'batched_small_solve_triangular', 'batched_grid_lml',
+    'rbf_covariance', 'rbf_covariance_pallas', 'batched_small_cholesky',
+    'batched_small_solve_triangular', 'batched_small_tri_inv',
+    'batched_grid_lml', 'cgp_lml_grid', 'cgp_lml_grid2', 'csp_lml_grid',
+    'batched_cho_solve',
 ]

@@ -186,3 +186,18 @@ def test_csp_lml_grid_matches_model():
                          for th in thetas])
         np.testing.assert_allclose(grid, loop, rtol=1e-8,
                                    err_msg=f'disp0={disp0}')
+
+
+def test_rbf_covariance_pallas_fallback():
+    """On the CPU test backend the pallas wrapper falls back to the XLA
+    implementation; values match the kernel-object path."""
+    from gsum_tpu.ops import rbf_covariance_pallas
+
+    X = rng.rand(24, 2)
+    K = np.asarray(rbf_covariance_pallas(jnp.asarray(X), 0.5, 2.0, 0.1))
+    K_ref = np.asarray(rbf_covariance(jnp.asarray(X), 0.5, 2.0, 0.1))
+    np.testing.assert_allclose(K, K_ref, atol=1e-12)
+    # batched
+    Xb = rng.rand(3, 24, 2)
+    Kb = np.asarray(rbf_covariance_pallas(jnp.asarray(Xb), 0.5, 2.0, 0.1))
+    assert Kb.shape == (3, 24, 24)
