@@ -24,7 +24,7 @@ from .. import _config  # noqa: F401
 from .smallchol import batched_small_cholesky, batched_small_tri_inv
 
 __all__ = ['cgp_lml_grid', 'cgp_lml_grid2', 'csp_lml_grid',
-           'batched_cho_solve']
+           'csp_lml_grid2', 'batched_cho_solve']
 
 _LOG_2PI = float(np.log(2 * np.pi))
 _HI = jax.lax.Precision.HIGHEST
@@ -47,7 +47,8 @@ def cgp_lml_grid(Rs, y, basis, center0, disp0, df0, scale0, leaf=16):
     Rs : (G, N, N) — nugget-included correlation matrices (one per grid
         point; factorization failures yield -inf like the reference's
         LinAlgError path)
-    y : (N, m) — training curves (shared across the grid)
+    y : (N, m) shared training curves, or (G, N, m) per-grid-point data
+        (the batched-fit path pairs each theta with its own data set)
     basis : (N, p) — mean basis (shared)
     center0, disp0, df0, scale0 : concrete prior hyperparameters
 
@@ -61,9 +62,10 @@ def cgp_lml_grid(Rs, y, basis, center0, disp0, df0, scale0, leaf=16):
         y = y[:, None]
     basis = jnp.asarray(basis)
     G, N, _ = Rs.shape
-    m = y.shape[1]
+    m = y.shape[-1]
     p = basis.shape[1]
     dtype = Rs.dtype
+    per_point_y = y.ndim == 3
 
     center0 = jnp.atleast_1d(jnp.asarray(center0, dtype=dtype))
     disp0_np = np.atleast_2d(np.asarray(disp0, dtype=float))
@@ -77,18 +79,23 @@ def cgp_lml_grid(Rs, y, basis, center0, disp0, df0, scale0, leaf=16):
     Rs_safe = jax.lax.optimization_barrier(jnp.where(ok[:, None, None], Rs, eye))
     L = jax.lax.optimization_barrier(batched_small_cholesky(Rs_safe, leaf))
 
-    # Shared solves: R^{-1} y and R^{-1} B for every grid point
-    yB = jnp.concatenate([y, basis], axis=1)                        # (N, m+p)
-    invR_yB = batched_cho_solve(L, jnp.broadcast_to(yB[None], (G,) + yB.shape),
-                                leaf)
+    # Solves: R^{-1} y and R^{-1} B for every grid point
+    if per_point_y:
+        yB = jnp.concatenate(
+            [y, jnp.broadcast_to(basis[None], (G,) + basis.shape)], axis=-1)
+    else:
+        yB = jnp.broadcast_to(
+            jnp.concatenate([y, basis], axis=1)[None], (G, N, m + p))
+    invR_yB = batched_cho_solve(L, yB, leaf)
     invR_y = invR_yB[..., :m]                                       # (G, N, m)
     invR_B = invR_yB[..., m:]                                       # (G, N, p)
 
-    ybar = jnp.mean(y, axis=1)                                      # (N,)
+    yb = y if per_point_y else y[None]                              # (G|1, N, m)
+    ybar = jnp.mean(yb, axis=-1)                                    # (G|1, N)
     invR_ybar = jnp.mean(invR_y, axis=-1)                           # (G, N)
 
     # --- conjugate updates (reference models.py:169-457), batched over G ---
-    df = df0 + y.size
+    df = df0 + N * m
     if disp0_zero:
         center = jnp.broadcast_to(center0, (G, p))                  # (G, p)
     else:
@@ -106,30 +113,33 @@ def cgp_lml_grid(Rs, y, basis, center0, disp0, df0, scale0, leaf=16):
     if df0_inf:
         scale_sq = jnp.full((G,), float(scale0) ** 2, dtype=dtype)
     else:
-        y_c = y - ybar[:, None]                                     # (N, m)
+        y_c = yb - ybar[..., None]                                  # (G|1, N, m)
         invR_yc = invR_y - invR_ybar[..., None]
-        quad = jnp.einsum('nm,gnm->g', y_c, invR_yc)
-        avg_yc = ybar - basis @ center0                             # (N,)
+        quad = jnp.einsum('gnm,gnm->g', jnp.broadcast_to(y_c, invR_yc.shape),
+                          invR_yc)
+        avg_yc = ybar - (basis @ center0)[None]                     # (G|1, N)
         invR_avg_yc = invR_ybar - jnp.einsum('gnp,p->gn', invR_B, center0)
+        avg_b = jnp.broadcast_to(avg_yc, invR_avg_yc.shape)         # (G, N)
         if disp0_zero:
-            quad2 = m * jnp.einsum('n,gn->g', avg_yc, invR_avg_yc)
+            quad2 = m * jnp.einsum('gn,gn->g', avg_b, invR_avg_yc)
         else:
             # Woodbury form (models.py:440-445):
             # mat = I - ny R^-1 B V B^T;  quad2 = ny avg_yc^T mat R^-1 avg_yc
             u = jnp.einsum('np,gn->gp', basis, invR_avg_yc)         # B^T R^-1 avg
             w = jnp.einsum('gpq,gq->gp', disp, u)                   # V u
             corr = m * jnp.einsum('gnp,gp->gn', invR_B, w)
-            quad2 = m * jnp.einsum('n,gn->g', avg_yc, invR_avg_yc - corr)
+            quad2 = m * jnp.einsum('gn,gn->g', avg_b, invR_avg_yc - corr)
         scale_sq = (df0 * float(scale0) ** 2 + quad + quad2) / df
 
     var = scale_sq if df0_inf else df * scale_sq / (df - 2)
 
     mean = jnp.einsum('np,gp->gn', basis, center)                   # (G, N)
-    y_t = y[None] - mean[..., None]                                 # (G, N, m)
+    y_t = yb - mean[..., None]                                      # (G, N, m)
     # alpha = R^{-1} y_t / var; reuse invR_y and the basis solves:
     invR_mean = jnp.einsum('gnp,gp->gn', invR_B, center)
     alpha = (invR_y - invR_mean[..., None]) / var[..., None, None]
-    quad_t = jnp.einsum('gnm,gnm->g', y_t, alpha)
+    quad_t = jnp.einsum('gnm,gnm->g', jnp.broadcast_to(y_t, alpha.shape),
+                        alpha)
 
     logdet_R = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)),
                              axis=-1)
@@ -263,7 +273,7 @@ def csp_lml_grid(Rs, y, basis, center0, disp0, df0, scale0, leaf=16):
     ybar = jnp.mean(y, axis=1)
     invR_ybar = jnp.mean(invR_y, axis=-1)
 
-    df = df0 + y.size
+    df = df0 + N * m
 
     # posterior dispersion V (reference models.py:233-278)
     if disp0_zero:
@@ -318,3 +328,63 @@ def csp_lml_grid(Rs, y, basis, center0, disp0, df0, scale0, leaf=16):
                              axis=-1)
     lml = log_norm_post - log_norm_prior - m / 2. * (N * _LOG_2PI + logdet_R)
     return jnp.where(ok, lml, -jnp.inf)
+
+
+def csp_lml_grid2(Rs, Ys, basis, center0, disp0, df0, scale0, leaf=16):
+    R"""Student-t evidence on the outer product of covariance and data grids.
+
+    The TP counterpart of :func:`cgp_lml_grid2` (reference
+    models.py:1184-1273 over both grid axes).  Delta-mean prior (V0 = 0),
+    like the truncation models.
+    """
+    from jax.scipy.special import gammaln
+    from scipy.special import gammaln as gammaln_host
+
+    Rs = jnp.asarray(Rs)
+    Ys = jnp.asarray(Ys)
+    basis = jnp.asarray(basis)
+    T, N, _ = Rs.shape
+    R, _, m = Ys.shape
+    dtype = Rs.dtype
+
+    center0 = jnp.atleast_1d(jnp.asarray(center0, dtype=dtype))
+    disp0_np = np.atleast_2d(np.asarray(disp0, dtype=float))
+    if not bool(np.all(disp0_np == 0)):
+        raise NotImplementedError('csp_lml_grid2 supports the delta-mean prior')
+    if np.isinf(df0):
+        raise NotImplementedError('df0 must be finite for the TP evidence')
+
+    L0 = batched_small_cholesky(Rs, leaf)
+    diag = jnp.diagonal(L0, axis1=-2, axis2=-1)
+    ok = jnp.all(jnp.isfinite(diag) & (diag > 0), axis=-1)
+    eye = jnp.eye(N, dtype=dtype)
+    Rs_safe = jax.lax.optimization_barrier(jnp.where(ok[:, None, None], Rs, eye))
+    L = jax.lax.optimization_barrier(batched_small_cholesky(Rs_safe, leaf))
+    Minv = batched_small_tri_inv(L, leaf)
+
+    MY = jnp.einsum('tij,rjm->trim', Minv, Ys, precision=_HI)
+    invR_Y = jnp.einsum('tji,trjm->trim', Minv, MY, precision=_HI)
+    MB = jnp.matmul(Minv, basis, precision=_HI)
+    invR_B = jnp.einsum('tji,tjp->tip', Minv, MB, precision=_HI)
+
+    ybar = jnp.mean(Ys, axis=-1)
+    invR_ybar = jnp.mean(invR_Y, axis=-1)
+
+    df = df0 + N * m
+    y_c = Ys - ybar[..., None]
+    invR_yc = invR_Y - invR_ybar[..., None]
+    quad = jnp.einsum('rnm,trnm->tr', y_c, invR_yc)
+    avg_yc = ybar - (basis @ center0)[None]
+    invR_avg_yc = invR_ybar - jnp.einsum('tnp,p->tn', invR_B, center0)[:, None]
+    quad2 = m * jnp.einsum('rn,trn->tr', avg_yc, invR_avg_yc)
+    scale_sq = (df0 * float(scale0) ** 2 + quad + quad2) / df
+
+    log_norm_post = gammaln(df / 2.) - df / 2. * jnp.log(df * scale_sq / 2.)
+    log_norm_prior = float(gammaln_host(df0 / 2.)
+                           - df0 / 2. * np.log(df0 * float(scale0) ** 2 / 2.))
+
+    logdet_R = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)),
+                             axis=-1)
+    lml = log_norm_post - log_norm_prior \
+        - m / 2. * (N * _LOG_2PI + logdet_R)[:, None]
+    return jnp.where(ok[:, None], lml, -jnp.inf)

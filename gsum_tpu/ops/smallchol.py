@@ -101,6 +101,24 @@ def _leaf_tri_inv(L):
     return _leaf_solve(L, eye)
 
 
+def _tri_inv_raw(L, leaf=16):
+    n = L.shape[-1]
+    if n <= leaf:
+        return _leaf_tri_inv(L)
+    n1 = _split(n)
+    L11 = L[..., :n1, :n1]
+    L21 = L[..., n1:, :n1]
+    L22 = L[..., n1:, n1:]
+    M11 = _tri_inv_raw(L11, leaf)
+    M22 = _tri_inv_raw(L22, leaf)
+    M21 = -jnp.matmul(M22, jnp.matmul(L21, M11, precision=_HI), precision=_HI)
+    z12 = jnp.zeros_like(jnp.swapaxes(L21, -1, -2))
+    top = jnp.concatenate([M11, z12], axis=-1)
+    bot = jnp.concatenate([M21, M22], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1,))
 def batched_small_tri_inv(L, leaf=16):
     R"""Inverse of a batch of lower-triangular matrices, GEMM-recursive.
 
@@ -109,30 +127,29 @@ def batched_small_tri_inv(L, leaf=16):
     confined to the leaves.  Turning solves into (precomputed-inverse ×
     rhs) GEMMs is what makes the batched grid-lml path throughput-bound
     instead of latency-bound.
+
+    Differentiation uses the analytic adjoint ``L̄ = -Mᵀ M̄ Mᵀ`` (three
+    batched GEMMs) instead of backpropagating through the recursion, whose
+    scatter-heavy reverse pass is ~10x slower.
     """
-    n = L.shape[-1]
-    if n <= leaf:
-        return _leaf_tri_inv(L)
-    n1 = _split(n)
-    L11 = L[..., :n1, :n1]
-    L21 = L[..., n1:, :n1]
-    L22 = L[..., n1:, n1:]
-    M11 = batched_small_tri_inv(L11, leaf)
-    M22 = batched_small_tri_inv(L22, leaf)
-    M21 = -jnp.matmul(M22, jnp.matmul(L21, M11, precision=_HI), precision=_HI)
-    z12 = jnp.zeros_like(jnp.swapaxes(L21, -1, -2))
-    top = jnp.concatenate([M11, z12], axis=-1)
-    bot = jnp.concatenate([M21, M22], axis=-1)
-    return jnp.concatenate([top, bot], axis=-2)
+    return _tri_inv_raw(L, leaf)
 
 
-def batched_small_cholesky(A, leaf=16):
-    """Cholesky of a batch of small SPD matrices, batch-first vectorized.
+def _tri_inv_fwd(L, leaf):
+    M = _tri_inv_raw(L, leaf)
+    return M, M
 
-    ~10-40x faster than ``jnp.linalg.cholesky`` on TPU for
-    (G >= ~100, N <= ~512) batches; falls back to identical math (same
-    factor up to roundoff).
-    """
+
+def _tri_inv_bwd(leaf, M, Mbar):
+    Mt = jnp.swapaxes(M, -1, -2)
+    Lbar = -jnp.matmul(Mt, jnp.matmul(Mbar, Mt, precision=_HI), precision=_HI)
+    return (jnp.tril(Lbar),)
+
+
+batched_small_tri_inv.defvjp(_tri_inv_fwd, _tri_inv_bwd)
+
+
+def _cholesky_raw(A, leaf=16):
     n = A.shape[-1]
     if n <= leaf:
         return _leaf_cholesky(A)
@@ -140,16 +157,50 @@ def batched_small_cholesky(A, leaf=16):
     A11 = A[..., :n1, :n1]
     A21 = A[..., n1:, :n1]
     A22 = A[..., n1:, n1:]
-    L11 = batched_small_cholesky(A11, leaf)
+    L11 = _cholesky_raw(A11, leaf)
     # L21 = A21 L11^{-T}  <=>  L11 L21^T = A21^T
     L21T = batched_small_solve_triangular(L11, jnp.swapaxes(A21, -1, -2), leaf)
     L21 = jnp.swapaxes(L21T, -1, -2)
     A22_upd = A22 - jnp.matmul(L21, L21T, precision=_HI)
-    L22 = batched_small_cholesky(A22_upd, leaf)
+    L22 = _cholesky_raw(A22_upd, leaf)
     z12 = jnp.zeros_like(jnp.swapaxes(A21, -1, -2))
     top = jnp.concatenate([L11, z12], axis=-1)
     bot = jnp.concatenate([L21, L22], axis=-1)
     return jnp.concatenate([top, bot], axis=-2)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1,))
+def batched_small_cholesky(A, leaf=16):
+    """Cholesky of a batch of small SPD matrices, batch-first vectorized.
+
+    ~10-40x faster than ``jnp.linalg.cholesky`` on TPU for
+    (G >= ~100, N <= ~512) batches; identical math (same factor up to
+    roundoff).  Differentiation uses the standard analytic Cholesky adjoint
+    (Murray 2016): ``Ā = 0.5 sym(M^T Φ(L^T L̄) M)`` with ``M = L^{-1}`` and
+    Φ the lower-triangular half-diagonal projector — a handful of batched
+    GEMMs instead of the recursion's reverse pass.
+    """
+    return _cholesky_raw(A, leaf)
+
+
+def _cholesky_fwd(A, leaf):
+    L = _cholesky_raw(A, leaf)
+    return L, L
+
+
+def _cholesky_bwd(leaf, L, Lbar):
+    n = L.shape[-1]
+    Lt = jnp.swapaxes(L, -1, -2)
+    W = jnp.matmul(Lt, Lbar, precision=_HI)
+    # Phi: keep lower triangle, halve the diagonal
+    W = jnp.tril(W) - 0.5 * W * jnp.eye(n, dtype=L.dtype)
+    M = _tri_inv_raw(L, leaf)
+    Mt = jnp.swapaxes(M, -1, -2)
+    Abar = jnp.matmul(Mt, jnp.matmul(W, M, precision=_HI), precision=_HI)
+    return (0.5 * (Abar + jnp.swapaxes(Abar, -1, -2)),)
+
+
+batched_small_cholesky.defvjp(_cholesky_fwd, _cholesky_bwd)
 
 
 @partial(jax.jit, static_argnames=('leaf',))

@@ -24,7 +24,8 @@ import numpy as np
 
 from . import _config  # noqa: F401
 
-__all__ = ['scipy_lbfgsb', 'jit_lbfgs_bounded', 'ConvergenceWarning']
+__all__ = ['scipy_lbfgsb', 'jit_lbfgs_bounded', 'fixed_lbfgs_bounded',
+           'fixed_lbfgs_bounded_batched', 'ConvergenceWarning']
 
 
 try:  # sklearn's warning class if present, else a local stand-in
@@ -98,7 +99,11 @@ def jit_lbfgs_bounded(fun, x0, lower, upper, maxiter=200, tol=1e-10):
     hi = jnp.asarray(upper, dtype=x0.dtype)
 
     def zfun(z):
-        return fun(_to_bounded(z, lo, hi))
+        # optax initializes its linesearch value state at the canonical
+        # float width (f64 under x64), so an f32 objective must be promoted
+        # or lax.cond branches disagree on dtypes
+        return jnp.asarray(fun(_to_bounded(z, lo, hi)),
+                           dtype=jnp.result_type(float))
 
     opt = optax.lbfgs()
     value_and_grad = optax.value_and_grad_from_state(zfun)
@@ -124,3 +129,198 @@ def jit_lbfgs_bounded(fun, x0, lower, upper, maxiter=200, tol=1e-10):
     z_opt, state, _ = jax.lax.while_loop(cond, body, (z0, state0, 0))
     x_opt = _to_bounded(z_opt, lo, hi)
     return x_opt, zfun(z_opt)
+
+
+def fixed_lbfgs_bounded(fun, x0, lower, upper, maxiter=50, history=8,
+                        ls_steps=10):
+    R"""Bounded L-BFGS with fixed-trip-count control flow only.
+
+    A TPU-native drop-in for :func:`jit_lbfgs_bounded`: no ``while_loop``
+    (the tunneled TPU runtime here has crashed on large vmapped while
+    loops), a ``lax.scan`` over exactly ``maxiter`` iterations, a static
+    two-loop recursion over a rolled history buffer, and a *vectorized*
+    backtracking linesearch — all ``ls_steps`` trial points are evaluated
+    in one batched call and the first Armijo-acceptable step is selected
+    with ``argmax``, so the linesearch costs one wide evaluation instead of
+    a data-dependent loop.
+
+    Box constraints are removed with the same sigmoid reparameterization.
+    """
+    lo = jnp.asarray(lower, dtype=x0.dtype)
+    hi = jnp.asarray(upper, dtype=x0.dtype)
+
+    def zfun(z):
+        return jnp.asarray(fun(_to_bounded(z, lo, hi)),
+                           dtype=jnp.result_type(float))
+
+    value_and_grad = jax.value_and_grad(zfun)
+
+    n = x0.shape[0]
+    h = history
+    dtype = jnp.result_type(float)
+    z0 = _to_unbounded(jnp.asarray(x0), lo, hi).astype(dtype)
+    f0, g0 = value_and_grad(z0)
+
+    # geometric trial steps 1, 1/2, 1/4, ...
+    ts = 0.5 ** jnp.arange(ls_steps, dtype=dtype)
+    c1 = 1e-4
+
+    def two_loop(g, S, Y, rho, m_cnt):
+        """H @ g via the standard two-loop recursion; index 0 is newest."""
+        q = g
+        alphas = []
+        for i in range(h):
+            valid = i < m_cnt
+            a = jnp.where(valid, rho[i] * jnp.dot(S[i], q), 0.0)
+            q = q - a * Y[i]
+            alphas.append(a)
+        ysy = jnp.dot(Y[0], Y[0])
+        gamma = jnp.where((m_cnt > 0) & (ysy > 0),
+                          jnp.dot(S[0], Y[0]) / jnp.maximum(ysy, 1e-30), 1.0)
+        r = gamma * q
+        for i in reversed(range(h)):
+            valid = i < m_cnt
+            b = jnp.where(valid, rho[i] * jnp.dot(Y[i], r), 0.0)
+            r = r + jnp.where(valid, alphas[i] - b, 0.0) * S[i]
+        return r
+
+    def step(carry, _):
+        z, f, g, S, Y, rho, m_cnt = carry
+        d = -two_loop(g, S, Y, rho, m_cnt)
+        # safeguard: fall back to steepest descent on a bad direction
+        descent = jnp.dot(g, d) < 0
+        d = jnp.where(descent, d, -g)
+        gd = jnp.dot(g, d)
+
+        # vectorized Armijo backtracking
+        f_trials = jax.vmap(lambda t: zfun(z + t * d))(ts)
+        ok = (f_trials <= f + c1 * ts * gd) & jnp.isfinite(f_trials)
+        any_ok = jnp.any(ok)
+        idx = jnp.argmax(ok)
+        t = jnp.where(any_ok, ts[idx], 0.0)
+
+        z_new = z + t * d
+        f_new, g_new = value_and_grad(z_new)
+        improved = any_ok & (f_new <= f)
+        z_new = jnp.where(improved, z_new, z)
+        f_new = jnp.where(improved, f_new, f)
+        g_new = jnp.where(improved, g_new, g)
+
+        s = z_new - z
+        yv = g_new - g
+        curv = jnp.dot(s, yv)
+        store = improved & (curv > 1e-12)
+        S2 = jnp.where(store, jnp.roll(S, 1, axis=0).at[0].set(s), S)
+        Y2 = jnp.where(store, jnp.roll(Y, 1, axis=0).at[0].set(yv), Y)
+        rho2 = jnp.where(store,
+                         jnp.roll(rho, 1).at[0].set(1.0 / jnp.maximum(curv, 1e-30)),
+                         rho)
+        m2 = jnp.where(store, jnp.minimum(m_cnt + 1, h), m_cnt)
+        return (z_new, f_new, g_new, S2, Y2, rho2, m2), None
+
+    S0 = jnp.zeros((h, n), dtype)
+    Y0 = jnp.zeros((h, n), dtype)
+    rho0 = jnp.zeros((h,), dtype)
+    (z_opt, f_opt, _, _, _, _, _), _ = jax.lax.scan(
+        step, (z0, f0, g0, S0, Y0, rho0, jnp.asarray(0)), None, length=maxiter)
+    return _to_bounded(z_opt, lo, hi), f_opt
+
+
+def fixed_lbfgs_bounded_batched(fun_b, X0, lower, upper, maxiter=50,
+                                history=8, ls_steps=10):
+    R"""Lockstep batched variant of :func:`fixed_lbfgs_bounded`.
+
+    ``fun_b`` evaluates the objective for a whole batch at once:
+    ``(B, P) -> (B,)``.  Every optimizer step and every linesearch trial is
+    one wide call — at small P/N this is what keeps the device busy: the
+    linesearch evaluates all ``ls_steps x B`` candidate points as a single
+    ``(ls_steps*B, P)`` batch (e.g. through the explicitly-batched grid-lml
+    evaluator), instead of vmapping a scalar optimizer whose inner
+    factorizations XLA cannot batch efficiently.
+
+    Returns (X_opt (B, P), f_opt (B,)).
+    """
+    X0 = jnp.asarray(X0)
+    B, P = X0.shape
+    dtype = jnp.result_type(float)
+    lo = jnp.broadcast_to(jnp.asarray(lower, dtype=dtype), (P,))
+    hi = jnp.broadcast_to(jnp.asarray(upper, dtype=dtype), (P,))
+
+    def zfun_b(Z):
+        return jnp.asarray(fun_b(_to_bounded(Z, lo, hi)), dtype=dtype)
+
+    def val_and_grad(Z):
+        vals, vjp = jax.vjp(zfun_b, Z)
+        grads = vjp(jnp.ones_like(vals))[0]
+        return vals, grads
+
+    h = history
+    Z0 = jax.vmap(lambda x: _to_unbounded(x, lo, hi))(X0).astype(dtype)
+    F0, G0 = val_and_grad(Z0)
+
+    ts = 0.5 ** jnp.arange(ls_steps, dtype=dtype)
+    c1 = 1e-4
+
+    def two_loop(G, S, Y, rho, m_cnt):
+        q = G                                            # (B, P)
+        alphas = []
+        for i in range(h):
+            valid = (i < m_cnt)[:, None]                 # (B, 1)
+            a = jnp.where(valid[:, 0], rho[i] * jnp.sum(S[i] * q, -1), 0.0)
+            q = q - a[:, None] * Y[i]
+            alphas.append(a)
+        ysy = jnp.sum(Y[0] * Y[0], -1)
+        gamma = jnp.where((m_cnt > 0) & (ysy > 0),
+                          jnp.sum(S[0] * Y[0], -1) / jnp.maximum(ysy, 1e-30),
+                          1.0)
+        r = gamma[:, None] * q
+        for i in reversed(range(h)):
+            valid = i < m_cnt
+            b = jnp.where(valid, rho[i] * jnp.sum(Y[i] * r, -1), 0.0)
+            r = r + jnp.where(valid, alphas[i] - b, 0.0)[:, None] * S[i]
+        return r
+
+    def step(carry, _):
+        Z, F, G, S, Y, rho, m_cnt = carry
+        D = -two_loop(G, S, Y, rho, m_cnt)               # (B, P)
+        gd = jnp.sum(G * D, -1)                          # (B,)
+        descent = gd < 0
+        D = jnp.where(descent[:, None], D, -G)
+        gd = jnp.where(descent, gd, -jnp.sum(G * G, -1))
+
+        # one wide linesearch call: all trials x all fits
+        Zt = Z[None] + ts[:, None, None] * D[None]       # (L, B, P)
+        Ft = zfun_b(Zt.reshape(-1, P)).reshape(ls_steps, B)
+        ok = (Ft <= F[None] + c1 * ts[:, None] * gd[None]) & jnp.isfinite(Ft)
+        any_ok = jnp.any(ok, axis=0)                     # (B,)
+        idx = jnp.argmax(ok, axis=0)                     # (B,)
+        t = jnp.where(any_ok, ts[idx], 0.0)
+
+        Z_new = Z + t[:, None] * D
+        F_new, G_new = val_and_grad(Z_new)
+        improved = any_ok & (F_new <= F)
+        Z_new = jnp.where(improved[:, None], Z_new, Z)
+        F_new = jnp.where(improved, F_new, F)
+        G_new = jnp.where(improved[:, None], G_new, G)
+
+        sv = Z_new - Z
+        yv = G_new - G
+        curv = jnp.sum(sv * yv, -1)
+        store = improved & (curv > 1e-12)
+        S2 = jnp.where(store[None, :, None],
+                       jnp.roll(S, 1, axis=0).at[0].set(sv), S)
+        Y2 = jnp.where(store[None, :, None],
+                       jnp.roll(Y, 1, axis=0).at[0].set(yv), Y)
+        rho2 = jnp.where(store[None, :],
+                         jnp.roll(rho, 1, axis=0).at[0].set(
+                             1.0 / jnp.maximum(curv, 1e-30)), rho)
+        m2 = jnp.where(store, jnp.minimum(m_cnt + 1, h), m_cnt)
+        return (Z_new, F_new, G_new, S2, Y2, rho2, m2), None
+
+    S0 = jnp.zeros((h, B, P), dtype)
+    Y0 = jnp.zeros((h, B, P), dtype)
+    rho0 = jnp.zeros((h, B), dtype)
+    (Z_opt, F_opt, _, _, _, _, _), _ = jax.lax.scan(
+        step, (Z0, F0, G0, S0, Y0, rho0, jnp.zeros(B, jnp.int32)), None,
+        length=maxiter)
+    return jax.vmap(lambda z: _to_bounded(z, lo, hi))(Z_opt), F_opt

@@ -23,7 +23,8 @@ from .. import _config  # noqa: F401
 from .. import conjugate as _conj
 from ..linalg import logdet_sqrt, solve_sqrt
 from ..models import ConjugateGaussianProcess
-from ..optimize import jit_lbfgs_bounded
+from ..optimize import (fixed_lbfgs_bounded,
+                        fixed_lbfgs_bounded_batched, jit_lbfgs_bounded)
 
 __all__ = ['batched_fit', 'batched_predict', 'batched_lml_grid',
            'truncation_lml_grid', 'make_lml_fn', 'BatchedPosterior']
@@ -137,11 +138,20 @@ def batched_lml_grid(kernel, X, y, thetas, center=0, disp=0, df=1, scale=1,
 def _fit_one(lml_fn, value_fn, theta0, lower, upper, X, y2, basis,
              center0, disp0, df0, scale0, nugget, maxiter):
     """MAP-optimize theta and compute the conjugate posterior for one fit."""
-    def neg(th):
-        return -lml_fn(th, X, y2, basis)
+    # The optimizer runs at the canonical float width (optax linesearch
+    # state dtypes); the model math runs at the data's dtype.
+    opt_dtype = jnp.result_type(float)
 
-    theta_opt, neg_min = jit_lbfgs_bounded(neg, theta0, lower, upper,
-                                           maxiter=maxiter)
+    def neg(th):
+        return -lml_fn(th.astype(X.dtype), X, y2, basis)
+
+    # fixed-trip L-BFGS: no while_loop (large vmapped while loops have
+    # crashed this TPU runtime) and the backtracking linesearch vectorizes
+    theta_opt, neg_min = fixed_lbfgs_bounded(neg, theta0.astype(opt_dtype),
+                                             lower.astype(opt_dtype),
+                                             upper.astype(opt_dtype),
+                                             maxiter=maxiter)
+    theta_opt = theta_opt.astype(X.dtype)
 
     R = value_fn(theta_opt, X, None)
     N = X.shape[0]
@@ -160,7 +170,7 @@ def _fit_one(lml_fn, value_fn, theta0, lower, upper, X, y2, basis,
 
 def batched_fit(kernel, X, y_batch, center=0, disp=0, df=1, scale=1,
                 nugget=1e-10, maxiter=100, theta0=None, mesh=None,
-                n_restarts=0, seed=0):
+                n_restarts=0, seed=0, chunk=128):
     R"""MAP-fit a ConjugateGaussianProcess independently to each batch element.
 
     Replaces Python loops of ``gp.fit`` (e.g. the KL diagnostic's 1000
@@ -178,6 +188,9 @@ def batched_fit(kernel, X, y_batch, center=0, disp=0, df=1, scale=1,
         models.py:649-660); the restart fan runs as one extra vmap axis
         and the best optimum per fit is selected on device.
     seed : int — PRNG seed for the restart draws
+    chunk : int or None — evaluate at most this many fits per device call
+        (the tunneled TPU runtime here kills executions that run too long;
+        chunking also bounds memory).  One compile serves all chunks.
 
     Returns
     -------
@@ -212,26 +225,110 @@ def batched_fit(kernel, X, y_batch, center=0, disp=0, df=1, scale=1,
     else:
         starts = theta0[None]
 
-    def one(y2):
-        def from_start(t0):
-            return _fit_one(lml, frozen.value_fn, t0, lower, upper, X, y2,
-                            basis, c0, V0, df, scale, nugget, maxiter)
-        posts = jax.vmap(from_start)(starts)
-        best = jnp.argmax(posts.lml)
-        return jax.tree_util.tree_map(lambda a: a[best], posts)
-
-    fn = jax.vmap(one)
     if mesh is not None:
+        def one(y2):
+            def from_start(t0):
+                return _fit_one(lml, frozen.value_fn, t0, lower, upper, X, y2,
+                                basis, c0, V0, df, scale, nugget, maxiter)
+            posts = jax.vmap(from_start)(starts)
+            best = jnp.argmax(posts.lml)
+            return jax.tree_util.tree_map(lambda a: a[best], posts)
+
+        fn = jax.jit(jax.vmap(one),
+                     in_shardings=NamedSharding(mesh, P('batch')))
         y_batch = jax.device_put(y_batch, NamedSharding(mesh, P('batch')))
-        fn = jax.jit(fn, in_shardings=NamedSharding(mesh, P('batch')))
+        return fn(y_batch)
+
+    # Single-device engine: lockstep batched L-BFGS over a *wide* objective
+    # — every linesearch trial for every fit is one call of the explicitly-
+    # batched grid-lml evaluator, which is ~100x the vmapped scalar path at
+    # these matrix sizes.
+    return _batched_fit_wide(frozen, X, y_batch, basis, starts, lower, upper,
+                             c0, V0, df, scale, nugget, maxiter, chunk)
+
+
+def _batched_fit_wide(frozen, X, y_batch, basis, starts, lower, upper,
+                      c0, V0, df0, scale0, nugget, maxiter, chunk):
+    from ..ops.gridlml import cgp_lml_grid
+    from .. import conjugate as _conj2
+
+    B, N, m = y_batch.shape
+    Rstarts = starts.shape[0]
+    dtype = X.dtype
+
+    def run_chunk(Ys, T0):
+        def fun_b(Thetas):
+            # the lockstep linesearch widens the leading axis to
+            # (ls_steps * B): trial l of fit b sits at index l*B + b, so the
+            # data tiles to match
+            reps = Thetas.shape[0] // Ys.shape[0]
+            Ys_full = jnp.tile(Ys, (reps, 1, 1)) if reps > 1 else Ys
+            Rs = jax.vmap(lambda th: frozen.value_fn(th.astype(dtype), X,
+                                                     None))(Thetas)
+            Rs = Rs + nugget * jnp.eye(N, dtype=Rs.dtype)
+            Rs = jax.lax.optimization_barrier(Rs)
+            return -cgp_lml_grid(Rs, Ys_full, basis, c0, V0, df0, scale0)
+
+        topt, fmin = fixed_lbfgs_bounded_batched(fun_b, T0, lower, upper,
+                                                 maxiter=maxiter)
+        topt = topt.astype(dtype)
+
+        def posterior(theta, y2):
+            R = frozen.value_fn(theta, X, None)
+            L = jnp.linalg.cholesky(R + nugget * jnp.eye(N, dtype=R.dtype))
+            center = _conj2.compute_center(y2, L, basis, c0, V0)
+            disp = _conj2.compute_disp(y2, L, basis, V0)
+            dfp = _conj2.compute_df(y2, df0)
+            scale_sq = _conj2.compute_scale_sq(y2, L, basis, c0, V0, df0,
+                                               scale0)
+            cov_factor = _conj2.compute_cov_factor(scale_sq, dfp)
+            return BatchedPosterior(
+                theta=theta, lml=jnp.asarray(0.0, R.dtype), center=center,
+                disp=disp, df=jnp.asarray(dfp, dtype=R.dtype),
+                scale_sq=scale_sq, cov_factor=cov_factor, chol=L)
+
+        posts = jax.vmap(posterior)(topt, Ys)
+        posts.lml = -fmin
+        return posts
+
+    run = jax.jit(run_chunk)
+
+    # fold restarts into the batch axis
+    if Rstarts > 1:
+        Ys_all = jnp.repeat(y_batch, Rstarts, axis=0)
+        T0_all = jnp.tile(starts, (B, 1))
     else:
-        fn = jax.jit(fn)
-    return fn(y_batch)
+        Ys_all = y_batch
+        T0_all = jnp.broadcast_to(starts[0][None], (B, starts.shape[1]))
+    T0_all = T0_all.astype(jnp.result_type(float))
+
+    total = Ys_all.shape[0]
+    if chunk is None or total <= chunk:
+        posts = run(Ys_all, T0_all)
+    else:
+        pads = (-total) % chunk
+        if pads:
+            Ys_all = jnp.concatenate([Ys_all, Ys_all[:pads]], axis=0)
+            T0_all = jnp.concatenate([T0_all, T0_all[:pads]], axis=0)
+        outs = [run(Ys_all[i:i + chunk], T0_all[i:i + chunk])
+                for i in range(0, Ys_all.shape[0], chunk)]
+        posts = jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate(xs, axis=0), *outs)
+        posts = jax.tree_util.tree_map(lambda a: a[:total], posts)
+
+    if Rstarts > 1:
+        def pick(a):
+            a = a.reshape((B, Rstarts) + a.shape[1:])
+            lml_r = posts.lml.reshape(B, Rstarts)
+            best = jnp.argmax(lml_r, axis=1)
+            return a[jnp.arange(B), best]
+        posts = jax.tree_util.tree_map(pick, posts)
+    return posts
 
 
 def truncation_lml_grid(kernel, X, y, orders, ratios, thetas, ref=1,
                         center=0, disp=0, df=1, scale=1, nugget=1e-10,
-                        excluded=None):
+                        excluded=None, process='gp'):
     R"""Joint (ratio, kernel-hyperparameter) log-likelihood surface.
 
     The reference computes this with a nested Python loop of full
@@ -257,7 +354,11 @@ def truncation_lml_grid(kernel, X, y, orders, ratios, thetas, ref=1,
     -------
     (T, R) array: log p(y | theta_t, ratio_r)
     """
-    from ..ops.gridlml import cgp_lml_grid2
+    from ..ops.gridlml import cgp_lml_grid2, csp_lml_grid2
+
+    if process not in ('gp', 'tp'):
+        raise ValueError("process must be 'gp' or 'tp'")
+    grid2 = cgp_lml_grid2 if process == 'gp' else csp_lml_grid2
 
     X = jnp.atleast_2d(jnp.asarray(X))
     y = jnp.asarray(y)
@@ -290,7 +391,7 @@ def truncation_lml_grid(kernel, X, y, orders, ratios, thetas, ref=1,
         Rs = jax.lax.optimization_barrier(Rs)
 
         basis = jnp.ones((N, 1), dtype=Xa.dtype)
-        lml = cgp_lml_grid2(Rs, coeffs, basis, c0, V0, df, scale)  # (T, R)
+        lml = grid2(Rs, coeffs, basis, c0, V0, df, scale)  # (T, R)
 
         # change-of-variables determinant (reference models.py:1505-1506)
         det = (n_in * jnp.sum(jnp.log(jnp.abs(refv)))
@@ -298,9 +399,9 @@ def truncation_lml_grid(kernel, X, y, orders, ratios, thetas, ref=1,
                * jnp.sum(jnp.log(jnp.abs(rats)), axis=-1))         # (R,)
         return lml - det[None, :]
 
-    key = ('trunc_grid', kernel.structure_key(), c0.tobytes(), V0.tobytes(),
-           float(df), float(scale), float(nugget), mask.tobytes(),
-           orders.tobytes())
+    key = ('trunc_grid', process, kernel.structure_key(), c0.tobytes(),
+           V0.tobytes(), float(df), float(scale), float(nugget),
+           mask.tobytes(), orders.tobytes())
     cached = _GRID_FN_CACHE.get(key)
     if cached is None:
         cached = jax.jit(fn)

@@ -201,3 +201,41 @@ def test_rbf_covariance_pallas_fallback():
     Xb = rng.rand(3, 24, 2)
     Kb = np.asarray(rbf_covariance_pallas(jnp.asarray(Xb), 0.5, 2.0, 0.1))
     assert Kb.shape == (3, 24, 24)
+
+
+def test_smallchol_custom_vjp_matches_builtin_grad():
+    """Analytic Cholesky/tri-inv adjoints match autodiff through
+    jnp.linalg.cholesky."""
+    K = _spd_batch(3, 24)
+
+    def f_ours(K):
+        L = batched_small_cholesky(jnp.asarray(K))
+        return jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1))) \
+            + jnp.sum(L ** 2) * 1e-3
+
+    def f_ref(K):
+        L = jnp.linalg.cholesky(jnp.asarray(K))
+        return jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1))) \
+            + jnp.sum(L ** 2) * 1e-3
+
+    g_ours = np.asarray(jax.grad(f_ours)(jnp.asarray(K)))
+    g_ref = np.asarray(jax.grad(f_ref)(jnp.asarray(K)))
+    np.testing.assert_allclose(g_ours, g_ref, atol=1e-9)
+
+    from gsum_tpu.ops.smallchol import batched_small_tri_inv
+
+    L0 = np.linalg.cholesky(K)
+
+    def h_ours(L):
+        return jnp.sum(batched_small_tri_inv(jnp.tril(L)) ** 2)
+
+    def h_ref(L):
+        n = L.shape[-1]
+        eye = jnp.broadcast_to(jnp.eye(n, dtype=L.dtype), L.shape)
+        from jax.lax.linalg import triangular_solve
+        M = triangular_solve(jnp.tril(L), eye, left_side=True, lower=True)
+        return jnp.sum(M ** 2)
+
+    g_ours = np.asarray(jax.grad(h_ours)(jnp.asarray(L0)))
+    g_ref = np.asarray(jax.grad(h_ref)(jnp.asarray(L0)))
+    np.testing.assert_allclose(g_ours, g_ref, atol=1e-8)

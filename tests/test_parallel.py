@@ -177,3 +177,30 @@ def test_batched_predict_matches_model():
                                    np.asarray(m_ref), rtol=1e-3, atol=1e-3)
         np.testing.assert_allclose(np.asarray(stds)[i], np.asarray(s_ref),
                                    rtol=0.05, atol=1e-3)
+
+
+def test_truncation_lml_grid_student():
+    """process='tp' surface equals a loop of TruncationTP evidences."""
+    from gsum_tpu.parallel import truncation_lml_grid
+
+    N = 10
+    Xg = np.linspace(0.1, 1.0, N)[:, None]
+    orders = np.arange(4)
+    coeffs = np.asarray(gm.generate_coefficients(Xg, size=len(orders), rng=9)).T
+    y_data = np.asarray(gm.partials(coeffs, 0.4, 1.5, orders))
+
+    kernel = gm.RBF(0.3)
+    ratios = np.array([0.35, 0.45])
+    thetas = np.log(np.array([0.25, 0.5]))[:, None]
+    surface = np.asarray(truncation_lml_grid(
+        kernel, Xg, y_data, orders, ratios, thetas, ref=1.5,
+        center=0, disp=0, df=3, scale=1, nugget=1e-8, process='tp'))
+
+    for j, r in enumerate(ratios):
+        ttp = gm.TruncationTP(kernel=kernel, ratio=float(r), ref=1.5,
+                              center=0, disp=0, df=3, scale=1, nugget=1e-8,
+                              optimizer=None)
+        ttp.fit(Xg, y_data, orders=orders)
+        for i, th in enumerate(thetas):
+            ref_val = float(np.asarray(ttp.log_marginal_likelihood(th)))
+            np.testing.assert_allclose(surface[i, j], ref_val, rtol=1e-8)
