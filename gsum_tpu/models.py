@@ -21,8 +21,6 @@ port verbatim, but the internals are pure JAX:
 """
 from __future__ import annotations
 
-import warnings
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -31,8 +29,8 @@ from . import _config  # noqa: F401
 from . import conjugate as _conj
 from .helpers import coefficients, geometric_sum, hpd
 from .kernels import RBF, ConstantKernel, Kernel
-from .linalg import (eigh_sqrt, logdet_sqrt, robust_spd_solve, safe_cholesky,
-                     solve_sqrt, spd_logdet, spd_solve)
+from .linalg import (eigh_sqrt, logdet_sqrt, robust_spd_solve, solve_sqrt,
+                     spd_logdet, spd_solve)
 from .optimize import ConvergenceWarning, scipy_lbfgsb
 
 # Host-side f64 constant: jnp transcendentals of bare Python scalars
