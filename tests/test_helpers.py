@@ -164,3 +164,20 @@ def test_lazy_property():
     assert t.val == 42
     assert t.val == 42
     assert len(calls) == 1
+
+
+def test_profiling_utilities(tmp_path):
+    import jax.numpy as jnp
+
+    from gsum_tpu import profiling
+
+    assert profiling.flops_lml(100) > 100 ** 3 / 3
+    assert profiling.flops_fit(100) > profiling.flops_lml(100)
+
+    import jax
+
+    f = jax.jit(lambda x: jnp.sum(x * x))
+    t = profiling.time_fn(f, jnp.ones(64), reps=1, chain=2)
+    assert t > 0
+    with profiling.trace(str(tmp_path / 'trace')):
+        float(f(jnp.ones(64)))
