@@ -385,38 +385,69 @@ class BaseConjugateProcess:
         self.basis_train_ = self.basis(self.X_train_)
 
         self._calibrate_kernel()
-        self.corr_ = self.kernel_(X)
 
-        N = X.shape[0]
-        eye = jnp.eye(N, dtype=self.corr_.dtype)
-        R_reg = self.corr_ + self.nugget * eye
+        # One fused, jitted device call for the whole posterior state —
+        # the eager op-by-op version costs a host-device round trip per op
+        # (~30 ms each through this machine's TPU tunnel).
+        y2 = self.y_train_[:, None] if self.y_train_.ndim == 1 else self.y_train_
+        state_fn = self._fit_state_closure(self.kernel_)
+        theta = jnp.asarray(self.kernel_.theta, dtype=jnp.result_type(float))
+        state = state_fn(theta, X, y2, jnp.asarray(self.basis_train_))
+
+        self.corr_ = state['corr']
         if self.decomposition == 'cholesky':
-            self.corr_L_ = self.corr_sqrt_ = jnp.linalg.cholesky(R_reg)
-            sqrt_R = self.corr_sqrt_
-        elif self.decomposition == 'eig':
-            eig, Q = eigh_sqrt(R_reg)
-            self._eigh_tuple_ = (eig, Q)
-            sqrt_R = (eig, Q)
-            self.corr_L_ = self.corr_sqrt_ = Q @ jnp.diag(jnp.sqrt(eig))
+            self.corr_L_ = self.corr_sqrt_ = state['sqrt_R']
         else:
-            raise ValueError('decomposition must be "cholesky" or "eig"')
-
-        self.center_ = self.compute_center(
-            y=self.y_train_, sqrt_R=sqrt_R, basis=self.basis_train_,
-            center0=self.center0, disp0=self.disp0, decomposition=self.decomposition)
-        self.disp_ = self.compute_disp(
-            y=self.y_train_, sqrt_R=sqrt_R, basis=self.basis_train_,
-            disp0=self.disp0, decomposition=self.decomposition)
+            self._eigh_tuple_ = state['sqrt_R']
+            self.corr_L_ = self.corr_sqrt_ = state['corr_L']
+        self.center_ = state['center']
+        self.disp_ = state['disp']
         self.df_ = self.compute_df(y=self.y_train_, df0=self.df0)
-        scale_sq = self.compute_scale_sq(
-            y=self.y_train_, sqrt_R=sqrt_R, basis=self.basis_train_,
-            center0=self.center0, disp0=self.disp0, df0=self.df0,
-            scale0=self.scale0, decomposition=self.decomposition)
-        self.scale_ = jnp.sqrt(scale_sq)
-        self.cov_factor_ = self.cbar_sq_mean_ = self.compute_cov_factor(
-            scale_sq=scale_sq, df=self.df_)
+        self.scale_ = state['scale']
+        self.cov_factor_ = self.cbar_sq_mean_ = state['cov_factor']
         self._fit = True
         return self
+
+    def _fit_state_closure(self, kernel):
+        """Cached jitted computation of the full fitted state."""
+        key = ('fit', kernel.structure_key(), self.decomposition)
+        cached = self._jit_cache.get(key)
+        if cached is not None:
+            return cached
+
+        frozen = kernel.clone()
+        nugget = self.nugget
+        decomposition = self.decomposition
+        center0, disp0 = self.center0, self.disp0
+        df0, scale0 = self.df0, self.scale0
+
+        def raw(theta, X, y2, basis):
+            R = frozen.value_fn(theta, X, None)
+            N = X.shape[0]
+            R_reg = R + nugget * jnp.eye(N, dtype=R.dtype)
+            if decomposition == 'cholesky':
+                L = jnp.linalg.cholesky(R_reg)
+                sqrt_R, corr_L = L, L
+            else:
+                eig, Q = eigh_sqrt(R_reg)
+                sqrt_R = (eig, Q)
+                corr_L = Q @ jnp.diag(jnp.sqrt(eig))
+            center = _conj.compute_center(
+                y2, sqrt_R, basis, center0, disp0, decomposition=decomposition)
+            disp = _conj.compute_disp(
+                y2, sqrt_R, basis, disp0, decomposition=decomposition)
+            df = _conj.compute_df(y2, df0)
+            scale_sq = _conj.compute_scale_sq(
+                y2, sqrt_R, basis, center0, disp0, df0, scale0,
+                decomposition=decomposition)
+            cov_factor = _conj.compute_cov_factor(scale_sq, df)
+            return {'corr': R, 'sqrt_R': sqrt_R, 'corr_L': corr_L,
+                    'center': center, 'disp': disp,
+                    'scale': jnp.sqrt(scale_sq), 'cov_factor': cov_factor}
+
+        cached = jax.jit(raw)
+        self._jit_cache[key] = cached
+        return cached
 
     def underlying_properties(self, X, return_std=False, return_cov=False):
         y_mean = self.mean(X)
@@ -445,6 +476,18 @@ class BaseConjugateProcess:
 
         X = jnp.atleast_2d(jnp.asarray(X))
         decomp = self.decomposition
+
+        # Common path (condition on the training set): one fused jitted call
+        if Xc is None and y is None and type(self).predict is BaseConjugateProcess.predict:
+            y2 = self.y_train_[:, None] if self.y_train_.ndim == 1 else self.y_train_
+            fn = self._predict_closure(self.kernel_, return_std, return_cov,
+                                       pred_noise)
+            theta = jnp.asarray(self.kernel_.theta, dtype=jnp.result_type(float))
+            sqrt_R = self._sqrt_R_train()
+            var = self.compute_cov_factor(scale_sq=self.scale_ ** 2, df=self.df_)
+            return fn(theta, self.X_train_, X, y2, sqrt_R,
+                      jnp.asarray(self.center_), jnp.asarray(var),
+                      jnp.asarray(self.basis_train_), self.basis(X))
 
         if Xc is None:
             Xc = self.X_train_
@@ -484,6 +527,40 @@ class BaseConjugateProcess:
                 return m_pred, jnp.sqrt(jnp.diag(K_pred))
             return m_pred, K_pred
         return m_pred
+
+    def _predict_closure(self, kernel, return_std, return_cov, pred_noise):
+        """Cached jitted predict core for the condition-on-training path."""
+        key = ('predict', kernel.structure_key(), self.decomposition,
+               bool(return_std), bool(return_cov), bool(pred_noise))
+        cached = self._jit_cache.get(key)
+        if cached is not None:
+            return cached
+
+        frozen = kernel.clone()
+        decomp = self.decomposition
+        nugget = self.nugget
+
+        def raw(theta, Xc, X, y2, sqrt_R, center, var, basis_old, basis_new):
+            m_old = basis_old @ center
+            m_new = basis_new @ center
+            R_on = frozen.value_fn(theta, Xc, X)
+            R_no = R_on.T
+            alpha = solve_sqrt(sqrt_R, y2 - m_old[:, None], decomposition=decomp)
+            m_pred = jnp.squeeze(m_new[:, None] + R_no @ alpha)
+            if not (return_std or return_cov):
+                return m_pred
+            R_nn = frozen.value_fn(theta, X, None)
+            R_pred = R_nn - R_no @ solve_sqrt(sqrt_R, R_on, decomposition=decomp)
+            if pred_noise:
+                R_pred = R_pred + nugget * jnp.eye(X.shape[0], dtype=R_pred.dtype)
+            K_pred = jnp.squeeze(var * R_pred)
+            if return_std:
+                return m_pred, jnp.sqrt(jnp.diag(K_pred))
+            return m_pred, K_pred
+
+        cached = jax.jit(raw)
+        self._jit_cache[key] = cached
+        return cached
 
     def sample_y(self, X, n_samples=1, random_state=0, underlying=False):
         """Draws samples from the (predictive or underlying) process at X.
