@@ -66,13 +66,56 @@ def state_dict(gp):
     return arrays, meta
 
 
+def _check_restore_compat(gp, meta):
+    """Raise if ``gp`` was constructed with different priors / nugget /
+    decomposition than the checkpoint: the stored posterior state would be
+    silently inconsistent with accessors that recompute from the priors
+    (e.g. ``center()`` / ``scale()``)."""
+    mismatches = []
+    p = meta.get('priors', {})
+
+    def near(a, b):
+        return np.allclose(np.asarray(a, dtype=float),
+                           np.asarray(b, dtype=float), rtol=0, atol=0)
+
+    if 'center0' in p and not near(gp.center0, p['center0']):
+        mismatches.append('center0: instance %r vs checkpoint %r'
+                          % (np.asarray(gp.center0).tolist(), p['center0']))
+    if 'disp0' in p and not near(gp.disp0, p['disp0']):
+        mismatches.append('disp0: instance %r vs checkpoint %r'
+                          % (np.asarray(gp.disp0).tolist(), p['disp0']))
+    if 'df0' in p:
+        df0_ckpt = np.inf if p['df0'] == 'inf' else float(p['df0'])
+        if not (np.isinf(gp.df0) and np.isinf(df0_ckpt)) \
+                and float(gp.df0) != df0_ckpt:
+            mismatches.append('df0: instance %r vs checkpoint %r'
+                              % (gp.df0, df0_ckpt))
+    if 'scale0' in p and float(gp.scale0) != float(p['scale0']):
+        mismatches.append('scale0: instance %r vs checkpoint %r'
+                          % (gp.scale0, p['scale0']))
+    if 'nugget' in meta and float(gp.nugget) != float(meta['nugget']):
+        mismatches.append('nugget: instance %r vs checkpoint %r'
+                          % (gp.nugget, meta['nugget']))
+    if 'decomposition' in meta and gp.decomposition != meta['decomposition']:
+        mismatches.append('decomposition: instance %r vs checkpoint %r'
+                          % (gp.decomposition, meta['decomposition']))
+    if 'class' in meta and type(gp).__name__ != meta['class']:
+        mismatches.append('class: instance %s vs checkpoint %s'
+                          % (type(gp).__name__, meta['class']))
+    if mismatches:
+        raise ValueError(
+            'checkpoint is incompatible with this instance:\n  '
+            + '\n  '.join(mismatches))
+
+
 def restore_state(gp, arrays, meta):
     """Restores fitted state into a compatible (unfitted) model instance.
 
     The caller constructs ``gp`` with the same constructor arguments
-    (kernel structure, priors); this fills in the fitted attributes and
-    marks the model as fitted.
+    (kernel structure, priors); this validates that and fills in the fitted
+    attributes, marking the model as fitted.
     """
+    _check_restore_compat(gp, meta)
     kernel = gp.kernel if gp.kernel is not None else gp._default_kernel
     gp.kernel_ = kernel.clone()
     theta = np.asarray(meta['kernel_theta'], dtype=float)

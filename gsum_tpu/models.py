@@ -477,8 +477,12 @@ class BaseConjugateProcess:
         X = jnp.atleast_2d(jnp.asarray(X))
         decomp = self.decomposition
 
-        # Common path (condition on the training set): one fused jitted call
-        if Xc is None and y is None and type(self).predict is BaseConjugateProcess.predict:
+        # Common path (condition on the training set): one fused jitted call.
+        # The closure is complete for every predict implementation registered
+        # in _FUSED_PREDICT_IMPLS (base GP and the Student-t process, whose
+        # mean-uncertainty term is computed inside the same jitted call);
+        # third-party overrides fall through to the eager path below.
+        if Xc is None and y is None and type(self).predict in _FUSED_PREDICT_IMPLS:
             y2 = self.y_train_[:, None] if self.y_train_.ndim == 1 else self.y_train_
             fn = self._predict_closure(self.kernel_, return_std, return_cov,
                                        pred_noise)
@@ -487,7 +491,8 @@ class BaseConjugateProcess:
             var = self.compute_cov_factor(scale_sq=self.scale_ ** 2, df=self.df_)
             return fn(theta, self.X_train_, X, y2, sqrt_R,
                       jnp.asarray(self.center_), jnp.asarray(var),
-                      jnp.asarray(self.basis_train_), self.basis(X))
+                      jnp.asarray(self.basis_train_), self.basis(X),
+                      *self._fused_extra())
 
         if Xc is None:
             Xc = self.X_train_
@@ -528,9 +533,19 @@ class BaseConjugateProcess:
             return m_pred, K_pred
         return m_pred
 
+    # subclasses whose fused predict closure adds terms set this (see
+    # ConjugateStudentProcess: 'tp' adds the mean-uncertainty term inside
+    # the same jitted call)
+    _fused_kind = 'gp'
+
+    def _fused_extra(self):
+        """Extra traced arguments for the fused predict closure."""
+        return ()
+
     def _predict_closure(self, kernel, return_std, return_cov, pred_noise):
         """Cached jitted predict core for the condition-on-training path."""
-        key = ('predict', kernel.structure_key(), self.decomposition,
+        kind = type(self)._fused_kind
+        key = ('predict', kind, kernel.structure_key(), self.decomposition,
                bool(return_std), bool(return_cov), bool(pred_noise))
         cached = self._jit_cache.get(key)
         if cached is not None:
@@ -540,13 +555,21 @@ class BaseConjugateProcess:
         decomp = self.decomposition
         nugget = self.nugget
 
-        def raw(theta, Xc, X, y2, sqrt_R, center, var, basis_old, basis_new):
+        def raw(theta, Xc, X, y2, sqrt_R, center, var, basis_old, basis_new,
+                *extra):
             m_old = basis_old @ center
             m_new = basis_new @ center
             R_on = frozen.value_fn(theta, Xc, X)
             R_no = R_on.T
             alpha = solve_sqrt(sqrt_R, y2 - m_old[:, None], decomposition=decomp)
             m_pred = jnp.squeeze(m_new[:, None] + R_no @ alpha)
+            if kind == 'tp':
+                # Student-t mean-uncertainty: conditional basis
+                # B_c = B_new − R_no R_oo⁻¹ B_old (reference models.py:1127-1182)
+                (disp,) = extra
+                basis_cond = basis_new - R_no @ solve_sqrt(
+                    sqrt_R, basis_old, decomposition=decomp)
+                mean_cov = var * (basis_cond @ disp @ basis_cond.T)
             if not (return_std or return_cov):
                 return m_pred
             R_nn = frozen.value_fn(theta, X, None)
@@ -555,7 +578,13 @@ class BaseConjugateProcess:
                 R_pred = R_pred + nugget * jnp.eye(X.shape[0], dtype=R_pred.dtype)
             K_pred = jnp.squeeze(var * R_pred)
             if return_std:
-                return m_pred, jnp.sqrt(jnp.diag(K_pred))
+                std = jnp.sqrt(jnp.diag(K_pred))
+                if kind == 'tp':
+                    # reference adds standard deviations, not variances
+                    std = std + jnp.sqrt(jnp.diag(mean_cov))
+                return m_pred, std
+            if kind == 'tp':
+                K_pred = K_pred + jnp.squeeze(mean_cov)
             return m_pred, K_pred
 
         cached = jax.jit(raw)
@@ -696,10 +725,21 @@ class ConjugateStudentProcess(BaseConjugateProcess):
         var = self.compute_cov_factor(scale_sq=scale ** 2, df=df)
         return var * (corr + self.basis(X) @ disp @ self.basis(Xp_arr).T)
 
+    _fused_kind = 'tp'
+
+    def _fused_extra(self):
+        return (jnp.asarray(self.disp_),)
+
     def predict(self, X, return_std=False, return_cov=False, Xc=None, y=None,
                 pred_noise=False):
         R"""GP prediction plus the mean-uncertainty term var·(B_c V B_cᵀ)
         with the conditional basis B_c (reference models.py:1127-1182)."""
+        if self._fit and Xc is None and y is None:
+            # common path: one fused jitted call — the base-class closure
+            # (kind='tp') computes the mean-uncertainty term on device
+            return super().predict(X=X, return_std=return_std,
+                                   return_cov=return_cov, pred_noise=pred_noise)
+
         pred = super().predict(X=X, return_std=return_std, return_cov=return_cov,
                                Xc=Xc, y=y, pred_noise=pred_noise)
 
@@ -778,6 +818,15 @@ class ConjugateStudentProcess(BaseConjugateProcess):
             neg_inf = jnp.asarray(-jnp.inf, dtype=log_like.dtype)
             return jnp.where(ok, log_like, neg_inf)
         return lml_fn
+
+
+# predict implementations whose full output the fused single-call closure in
+# BaseConjugateProcess._predict_closure can produce; subclasses with other
+# overrides take the eager path
+_FUSED_PREDICT_IMPLS = frozenset({
+    BaseConjugateProcess.predict,
+    ConjugateStudentProcess.predict,
+})
 
 
 class TruncationProcess:
@@ -980,6 +1029,12 @@ class TruncationProcess:
         det_factor = jnp.sum(n * jnp.log(jnp.abs(ref))
                              + np.sum(orders_in) * jnp.log(jnp.abs(ratio)))
         y_log_like = coeff_log_like - det_factor
+        if eval_gradient:
+            # the change-of-variables determinant is theta-independent, so
+            # the coefficient-process gradient is exact for y_log_like too.
+            # (The reference silently DISCARDS the requested gradient here —
+            # models.py:1497-1507; see docs/parity.md.)
+            return y_log_like, coeff_log_like_gradient
         return y_log_like
 
 

@@ -221,6 +221,13 @@ def batched_grid_lml(Ks, y, leaf=16):
 
     G, N, _ = Ks.shape
     L = batched_small_cholesky(Ks, leaf)
+    # failed factorization (non-PD K) → -inf, matching the library-wide
+    # convention (cgp_lml_grid, models._safe_sqrt_R) so optimizers reject
+    # the hyperparameters instead of propagating NaN
+    diag = jnp.diagonal(L, axis1=-2, axis2=-1)
+    ok = jnp.all(jnp.isfinite(diag) & (diag > 0), axis=-1)
+    L = jnp.where(ok[:, None, None], L,
+                  jnp.eye(N, dtype=L.dtype)[None])
     if y.ndim == 2:
         y = jnp.broadcast_to(y[None], (G,) + y.shape)
     w = batched_small_solve_triangular(L, y, leaf)
@@ -228,4 +235,5 @@ def batched_grid_lml(Ks, y, leaf=16):
     logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), axis=-1)
     m = y.shape[-1]
     log_2pi = float(np.log(2 * np.pi))
-    return -0.5 * (quad + m * (logdet + N * log_2pi))
+    lml = -0.5 * (quad + m * (logdet + N * log_2pi))
+    return jnp.where(ok, lml, -jnp.inf)

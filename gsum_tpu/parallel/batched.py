@@ -42,9 +42,13 @@ def make_lml_fn(kernel, center=0, disp=0, df=1, scale=1, nugget=1e-10,
 
 
 @jax.tree_util.register_pytree_node_class
-@dataclass
+@dataclass(frozen=True)
 class BatchedPosterior:
-    """Posterior state for a batch of conjugate-GP fits (a pytree)."""
+    """Posterior state for a batch of conjugate-GP fits (an immutable pytree).
+
+    Frozen so field writes cannot silently diverge from the registered
+    flatten order — construct once with final values.
+    """
     theta: Any
     lml: Any
     center: Any
@@ -61,6 +65,20 @@ class BatchedPosterior:
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(*children)
+
+
+def _resolve_basis(basis, X):
+    """Basis matrix at X: ``None`` → constant ones (the reference default);
+    a callable is evaluated at X; an array is used as-is."""
+    if basis is None:
+        return jnp.ones((X.shape[0], 1), dtype=X.dtype)
+    if callable(basis):
+        return jnp.asarray(basis(X), dtype=X.dtype)
+    b = jnp.asarray(basis, dtype=X.dtype)
+    if b.shape[0] != X.shape[0]:
+        raise ValueError('basis matrix has %d rows, expected %d'
+                         % (b.shape[0], X.shape[0]))
+    return b
 
 
 # Compiled grid evaluators, keyed by kernel structure + priors so repeated
@@ -102,7 +120,7 @@ def _get_grid_fn(kernel, center, disp, df, scale, nugget, small):
 
 
 def batched_lml_grid(kernel, X, y, thetas, center=0, disp=0, df=1, scale=1,
-                     nugget=1e-10, mesh=None):
+                     nugget=1e-10, mesh=None, basis=None):
     R"""Log-marginal likelihood over a grid of kernel hyperparameters.
 
     For N <= 512 this runs the explicitly-batched evaluator
@@ -117,6 +135,9 @@ def batched_lml_grid(kernel, X, y, thetas, center=0, disp=0, df=1, scale=1,
     X : (N, d) inputs; y : (N,) or (N, m) data
     thetas : (G, n_params) grid of log-parameter vectors
     mesh : jax.sharding.Mesh, optional — shard the grid over the 'batch' axis
+    basis : None | callable | (N, q) array — mean basis (None = constant
+        ones, the reference default); ``center``/``disp`` must be shaped
+        for q basis columns
 
     Returns
     -------
@@ -125,7 +146,7 @@ def batched_lml_grid(kernel, X, y, thetas, center=0, disp=0, df=1, scale=1,
     X = jnp.atleast_2d(jnp.asarray(X))
     y = jnp.asarray(y)
     y2 = y[:, None] if y.ndim == 1 else y
-    basis = jnp.ones((X.shape[0], 1), dtype=X.dtype)
+    basis = _resolve_basis(basis, X)
     thetas = jnp.asarray(thetas)
     N = X.shape[0]
 
@@ -170,7 +191,7 @@ def _fit_one(lml_fn, value_fn, theta0, lower, upper, X, y2, basis,
 
 def batched_fit(kernel, X, y_batch, center=0, disp=0, df=1, scale=1,
                 nugget=1e-10, maxiter=100, theta0=None, mesh=None,
-                n_restarts=0, seed=0, chunk=128):
+                n_restarts=0, seed=0, chunk=128, basis=None):
     R"""MAP-fit a ConjugateGaussianProcess independently to each batch element.
 
     Replaces Python loops of ``gp.fit`` (e.g. the KL diagnostic's 1000
@@ -191,6 +212,9 @@ def batched_fit(kernel, X, y_batch, center=0, disp=0, df=1, scale=1,
     chunk : int or None — evaluate at most this many fits per device call
         (the tunneled TPU runtime here kills executions that run too long;
         chunking also bounds memory).  One compile serves all chunks.
+    basis : None | callable | (N, q) array — mean basis shared by every fit
+        (None = constant ones, the reference default); ``center``/``disp``
+        must match its column count
 
     Returns
     -------
@@ -202,7 +226,7 @@ def batched_fit(kernel, X, y_batch, center=0, disp=0, df=1, scale=1,
     y_batch = jnp.asarray(y_batch)
     if y_batch.ndim == 2:
         y_batch = y_batch[:, :, None]
-    basis = jnp.ones((X.shape[0], 1), dtype=X.dtype)
+    basis = _resolve_basis(basis, X)
 
     dtype = jnp.result_type(X.dtype, float)
     if theta0 is None:
@@ -282,14 +306,13 @@ def _batched_fit_wide(frozen, X, y_batch, basis, starts, lower, upper,
             scale_sq = _conj2.compute_scale_sq(y2, L, basis, c0, V0, df0,
                                                scale0)
             cov_factor = _conj2.compute_cov_factor(scale_sq, dfp)
-            return BatchedPosterior(
-                theta=theta, lml=jnp.asarray(0.0, R.dtype), center=center,
-                disp=disp, df=jnp.asarray(dfp, dtype=R.dtype),
-                scale_sq=scale_sq, cov_factor=cov_factor, chol=L)
+            return {'theta': theta, 'center': center, 'disp': disp,
+                    'df': jnp.asarray(dfp, dtype=R.dtype),
+                    'scale_sq': scale_sq, 'cov_factor': cov_factor, 'chol': L}
 
-        posts = jax.vmap(posterior)(topt, Ys)
-        posts.lml = -fmin
-        return posts
+        parts = jax.vmap(posterior)(topt, Ys)
+        # construct once with the final lml — BatchedPosterior is frozen
+        return BatchedPosterior(lml=-fmin, **parts)
 
     run = jax.jit(run_chunk)
 
@@ -350,6 +373,10 @@ def truncation_lml_grid(kernel, X, y, orders, ratios, thetas, ref=1,
     ref : scalar or (N,) reference scale
     excluded : orders excluded from the coefficient process
 
+    The coefficient process uses the constant-ones mean basis (the only
+    basis the reference's truncation models use); for a custom basis,
+    evaluate :func:`batched_lml_grid` on pre-extracted coefficients.
+
     Returns
     -------
     (T, R) array: log p(y | theta_t, ratio_r)
@@ -409,11 +436,15 @@ def truncation_lml_grid(kernel, X, y, orders, ratios, thetas, ref=1,
     return cached(thetas, ratios, X, y, ref_vec)
 
 
-def batched_predict(kernel, post, X, y_batch, Xnew, mesh=None):
+def batched_predict(kernel, post, X, y_batch, Xnew, mesh=None, basis=None):
     R"""Predictive means/stds at ``Xnew`` for every fit in a BatchedPosterior.
 
     The vmapped analog of ``ConjugateGaussianProcess.predict``
     (reference models.py:751-845) given the state from :func:`batched_fit`.
+
+    ``basis``: None (constant ones, the reference default) or a callable
+    evaluated at both X and Xnew; it must match the basis the posterior was
+    fitted with.
 
     Returns
     -------
@@ -421,16 +452,21 @@ def batched_predict(kernel, post, X, y_batch, Xnew, mesh=None):
     """
     from jax.scipy.linalg import cho_solve as _cho
 
+    if basis is not None and not callable(basis):
+        raise TypeError('batched_predict needs basis=None or a callable '
+                        '(it must be evaluated at both X and Xnew)')
     frozen = kernel.clone()
     X = jnp.atleast_2d(jnp.asarray(X))
     Xnew = jnp.atleast_2d(jnp.asarray(Xnew))
     y_batch = jnp.asarray(y_batch)
     if y_batch.ndim == 2:
         y_batch = y_batch[:, :, None]
+    basis_old_c = _resolve_basis(basis, X)
+    basis_new_c = _resolve_basis(basis, Xnew)
 
     def one(theta, L, center, cov_factor, y2):
-        basis_old = jnp.ones((X.shape[0], 1), dtype=X.dtype)
-        basis_new = jnp.ones((Xnew.shape[0], 1), dtype=X.dtype)
+        basis_old = basis_old_c
+        basis_new = basis_new_c
         m_old = basis_old @ center
         m_new = basis_new @ center
         R_on = frozen.value_fn(theta, X, Xnew)

@@ -56,3 +56,32 @@ def test_eig_decomposition_roundtrip(tmp_path):
     m1, s1 = gp2.predict(X2, return_std=True)
     np.testing.assert_allclose(np.asarray(m0), np.asarray(m1), atol=1e-12)
     np.testing.assert_allclose(np.asarray(s0), np.asarray(s1), atol=1e-12)
+
+
+def test_restore_rejects_mismatched_priors(tmp_path):
+    """Restoring into a model built with different priors/nugget/
+    decomposition must raise, not silently yield inconsistent state
+    (ADVICE r1)."""
+    import pytest as _pytest
+
+    gp = gm.ConjugateGaussianProcess(kernel=gm.RBF(1.0, 'fixed'),
+                                     center=0, disp=0, df=3, scale=1.0)
+    gp.fit(X, y)
+    path = str(tmp_path / 'ck')
+    gm.checkpoint.save(path, gp)
+
+    bad_prior = gm.ConjugateGaussianProcess(kernel=gm.RBF(1.0, 'fixed'),
+                                            center=0, disp=0, df=7, scale=1.0)
+    with _pytest.raises(ValueError, match='df0'):
+        gm.checkpoint.load(path, bad_prior)
+
+    bad_nugget = gm.ConjugateGaussianProcess(kernel=gm.RBF(1.0, 'fixed'),
+                                             nugget=1e-4, center=0, disp=0,
+                                             df=3, scale=1.0)
+    with _pytest.raises(ValueError, match='nugget'):
+        gm.checkpoint.load(path, bad_nugget)
+
+    ok = gm.ConjugateGaussianProcess(kernel=gm.RBF(1.0, 'fixed'),
+                                     center=0, disp=0, df=3, scale=1.0)
+    gm.checkpoint.load(path, ok)   # same config restores fine
+    np.testing.assert_allclose(np.asarray(ok.center_), np.asarray(gp.center_))

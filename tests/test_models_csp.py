@@ -137,3 +137,36 @@ def test_csp_multicurve():
     lo = float(np.asarray(gp_o.log_marginal_likelihood(np.array([]))))
     lr = float(gp_r.log_marginal_likelihood(np.array([])))
     np.testing.assert_allclose(lo, lr, rtol=1e-9)
+
+
+def test_csp_predict_uses_fused_path():
+    """Regression for round-1 weak spot #4: CSP predict on the common
+    (condition-on-training) path must be a single cached jitted call — no
+    eager device round trips, no retrace on repeat calls.
+
+    The fused closure binds gsum_tpu.models.solve_sqrt at trace time; once
+    warm, a second same-shape predict must neither re-trace nor run any
+    eager host-side linalg, so a poisoned module-level solve_sqrt proves it.
+    """
+    import gsum_tpu.models as models_mod
+
+    gp_o, _ = make_pair()
+    gp_o.fit(X, y)
+    m1, s1 = gp_o.predict(X2, return_std=True)
+
+    # fused 'tp' closure is cached
+    assert any(k[0] == 'predict' and k[1] == 'tp'
+               for k in gp_o._jit_cache), list(gp_o._jit_cache)
+
+    real = models_mod.solve_sqrt
+
+    def poisoned(*a, **kw):
+        raise AssertionError('eager solve_sqrt called on the fused path')
+
+    models_mod.solve_sqrt = poisoned
+    try:
+        m2, s2 = gp_o.predict(X2, return_std=True)
+    finally:
+        models_mod.solve_sqrt = real
+    np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))

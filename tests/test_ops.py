@@ -239,3 +239,19 @@ def test_smallchol_custom_vjp_matches_builtin_grad():
     g_ours = np.asarray(jax.grad(h_ours)(jnp.asarray(L0)))
     g_ref = np.asarray(jax.grad(h_ref)(jnp.asarray(L0)))
     np.testing.assert_allclose(g_ours, g_ref, atol=1e-8)
+
+
+def test_batched_grid_lml_failed_cholesky_neg_inf():
+    """Non-PD K → -inf (library-wide convention), not NaN (ADVICE r1)."""
+    import scipy.stats as st
+    from gsum_tpu.ops.smallchol import batched_grid_lml
+
+    K = _spd_batch(3, 12)
+    K[1] = -np.eye(12)  # not PSD
+    y = rng.randn(12, 2)
+    out = np.asarray(batched_grid_lml(jnp.asarray(K), jnp.asarray(y)))
+    assert np.isneginf(out[1])
+    for g in (0, 2):
+        want = sum(st.multivariate_normal(np.zeros(12), K[g]).logpdf(y[:, j])
+                   for j in range(2))
+        np.testing.assert_allclose(out[g], want, rtol=1e-8)

@@ -218,3 +218,28 @@ def test_pointwise_credible_diagnostic():
                                        band_dobs=np.array([0.25, 0.5, 0.75]),
                                        beta=False)
     np.testing.assert_allclose(np.asarray(b_o), np.asarray(b_r), atol=1e-8)
+
+
+def test_truncation_lml_eval_gradient():
+    """eval_gradient=True returns (value, grad); the det factor is
+    theta-independent so the gradient matches finite differences of the
+    full y-space lml.  (The reference silently discards the gradient —
+    models.py:1497-1507; ADVICE r1.)"""
+    ko = gm.RBF(0.25, (1e-2, 10))
+    t_o = gm.TruncationGP(kernel=ko, ratio=ratio_val, ref=ref_val,
+                          optimizer=None, **PRIORS)
+    t_o.fit(X, y_data, orders=orders)
+    theta = np.array([np.log(0.3)])
+    val, grad = t_o.log_marginal_likelihood(theta, eval_gradient=True)
+    val = float(np.asarray(val))
+    grad = np.asarray(grad)
+    assert grad.shape == (1,)
+    # eps=1e-4: the lml magnitude here is ~1e4, so smaller steps are
+    # dominated by cancellation noise (verified: FD converges to the
+    # analytic gradient as eps grows from 1e-6 to 1e-4)
+    eps = 1e-4
+    vp = float(np.asarray(t_o.log_marginal_likelihood(theta + eps)))
+    vm = float(np.asarray(t_o.log_marginal_likelihood(theta - eps)))
+    np.testing.assert_allclose(float(np.asarray(
+        t_o.log_marginal_likelihood(theta))), val, rtol=1e-12)
+    np.testing.assert_allclose(grad[0], (vp - vm) / (2 * eps), rtol=1e-4)
