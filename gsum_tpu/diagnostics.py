@@ -8,8 +8,6 @@ host-side matplotlib with the reference's API.
 """
 from __future__ import annotations
 
-from itertools import cycle
-
 import jax.numpy as jnp
 import numpy as np
 
@@ -140,475 +138,372 @@ class Diagnostic:
 
 
 class GraphicalDiagnostic:
-    R"""Plotting layer over :class:`Diagnostic` with simulated reference bands.
+    R"""Graphical model-checking dashboard over :class:`Diagnostic`.
 
-    reference: diagnostics.py:197-669.  Numerics (errors, MD², coverage, KL)
-    run on device; rendering is host-side matplotlib/seaborn/pandas.
+    Covers the reference's plotting capability (gsum/diagnostics.py:197-669:
+    whitened-error index plots, QQ plots with simulated envelopes, MD²
+    summaries, credible-interval coverage, KL and variogram panels, and the
+    ``plotzilla``/``essentials`` dashboards) with an original architecture:
+    every envelope is a batched device computation over the full
+    reference-sample set (``gsum_tpu.viz``), and rendering is a set of
+    generic matplotlib primitives — no pandas/seaborn.
+
+    Parameters
+    ----------
+    data : (n_samples,) or (n_samples, n_curves) observed curves
+    mean, cov : reference-process moments at the same points
+    df : int, optional — Student-t reference process if given
+    nref : int — number of simulated reference draws for the envelopes
+    colors, markers, labels, gray, black, markeredgecolors,
+    markerfillstyles : style overrides (matplotlib cycle by default)
     """
+
+    #: whitening-map registry: name -> Diagnostic method name
+    _WHITENERS = {
+        'individual': 'individual_errors',
+        'cholesky': 'cholesky_errors',
+        'pivoted_cholesky': 'pivoted_cholesky_errors',
+        'eigen': 'eigen_errors',
+    }
 
     def __init__(self, data, mean, cov, df=None, random_state=1, nref=1000,
                  colors=None, markers=None, labels=None, gray='lightgray',
                  black='#262626', markeredgecolors=None, markerfillstyles=None):
-        import matplotlib as mpl
-        from cycler import cycler
+        from . import viz
 
         self.diagnostic = Diagnostic(mean=mean, cov=cov, df=df,
                                      random_state=random_state)
         data = jnp.asarray(data)
         if data.ndim == 1:
-            data = jnp.atleast_2d(data).T
+            data = data[:, None]
         self.data = data
-        self.samples = self.diagnostic.samples(nref)
-        prop_list = list(mpl.rcParams['axes.prop_cycle'])
-        if colors is None:
-            colors = [c['color'] for c in prop_list]
-        if markers is None:
-            markers = ['o' for _ in prop_list]
-        if markeredgecolors is None:
-            markeredgecolors = [None for _ in prop_list]
-        if markerfillstyles is None:
-            markerfillstyles = ['full' for _ in prop_list]
+        self.nref = int(nref)
+        self.samples = self.diagnostic.samples(self.nref)   # (N, nref)
+
         if labels is None:
-            labels = np.array([r'$c_{{{}}}$'.format(i) for i in range(data.shape[-1])])
+            labels = [r'$c_{{{}}}$'.format(i) for i in range(data.shape[1])]
         self.labels = labels
-        self.markers = markers
-        self.markeredgecolors = markeredgecolors
-        self.markerfillstyles = markerfillstyles
-        self.marker_cycle = cycler('marker', colors)
-        self.colors = colors
-        self.color_cycle = cycler('color', colors)
+        self.style = viz.PlotStyle(
+            colors=colors, markers=markers, labels=labels, gray=gray,
+            black=black, markeredgecolors=markeredgecolors,
+            markerfillstyles=markerfillstyles)
+        # style attributes kept as aliases for API parity
+        self.colors = self.style.colors
+        self.markers = self.style.markers
         self.gray = gray
         self.black = black
 
-        n = len(np.asarray(cov))
+        n = int(np.asarray(cov).shape[-1])
         if df is None:
             self.md_ref_dist = gstats.chi2(df=n)
         else:
-            self.md_ref_dist = gstats.f(dfn=n, dfd=df, scale=(df - 2) * n / df)
+            self.md_ref_dist = gstats.f(dfn=n, dfd=df,
+                                        scale=(df - 2) * n / df)
+        self._ref_err_cache = {}
+
+    # ------------------------------------------------------------------
+    # Device-side envelope data (exposed for numeric testing)
+    # ------------------------------------------------------------------
+    def _whiten(self, name):
+        return getattr(self.diagnostic, self._WHITENERS[name])
+
+    def _ref_errors(self, name):
+        """Whitened reference draws (N, nref), computed once per map."""
+        if name not in self._ref_err_cache:
+            self._ref_err_cache[name] = self._whiten(name)(self.samples)
+        return self._ref_err_cache[name]
+
+    def qq_band_data(self, name, band_perc=(0.68, 0.95)):
+        """The arrays behind a QQ panel: theoretical quantiles of the
+        standardized reference distribution, per-curve order statistics of
+        the whitened data, and simulated order-statistic envelopes.
+
+        Returns (theo_q, sorted_data, bands); bands is a list of (lo, hi)
+        (N,) arrays, one pair per entry of band_perc.
+        """
+        from . import viz
+
+        N = self.data.shape[0]
+        probs = (jnp.arange(1, N + 1) - 0.5) / N
+        theo_q = np.asarray(self.diagnostic.std_udist.ppf(probs))
+        sorted_data = np.sort(np.asarray(self._whiten(name)(self.data)),
+                              axis=0)
+        bands = viz.sorted_sample_envelope(self._ref_errors(name), band_perc)
+        return theo_q, sorted_data, bands
+
+    def coverage_band_data(self, intervals, band_perc=(0.68, 0.95)):
+        """The arrays behind the credible-interval panel: per-curve data
+        coverage and simulated coverage envelopes across the draws."""
+        from . import viz
+
+        data_cov = np.atleast_2d(
+            np.asarray(self.diagnostic.credible_interval(self.data,
+                                                         intervals)))
+        ref_cov = self.diagnostic.credible_interval(self.samples, intervals)
+        bands = viz.coverage_envelope(ref_cov, band_perc)
+        return data_cov, bands
 
     # ------------------------------------------------------------------
     # Error index plots and QQ plots
     # ------------------------------------------------------------------
-    def error_plot(self, err, title=None, xlabel='Index', ylabel=None, ax=None):
-        import matplotlib.pyplot as plt
-        from matplotlib.ticker import MaxNLocator
+    def error_plot(self, err, title=None, xlabel='Index', ylabel=None,
+                   ax=None):
+        from . import viz
 
-        if ax is None:
-            ax = plt.gca()
-        ax.axhline(0, 0, 1, linestyle='-', color=self.black, lw=1, zorder=0)
-        sd = float(np.asarray(self.diagnostic.std_udist.std()))
-        ax.axhline(-2 * sd, 0, 1, color=self.gray, zorder=0, lw=1)
-        ax.axhline(2 * sd, 0, 1, color=self.gray, zorder=0, lw=1)
-        index = np.arange(1, self.data.shape[0] + 1)
-        size = 8
+        sigma = float(np.asarray(self.diagnostic.std_udist.std()))
+        return viz.draw_index_errors(err, sigma, self.style, title=title,
+                                     xlabel=xlabel, ylabel=ylabel, ax=ax)
 
-        err = np.asarray(err)
-        if err.ndim == 1:
-            err = err[:, None]
-        for i, error in enumerate(err.T):
-            ax.plot(index, error, ls='', color=self.colors[i],
-                    marker=self.markers[i],
-                    markeredgecolor=self.markeredgecolors[i],
-                    fillstyle=self.markerfillstyles[i], markersize=size,
-                    markeredgewidth=0.5)
-        ax.xaxis.set_major_locator(MaxNLocator(integer=True))
-        ax.set_xlabel(xlabel)
-        ax.margins(x=0.05)
-        ax.set_ylabel(ylabel)
-        ax.set_title(title)
-        return ax
+    def _errors_panel(self, name, title, ax):
+        return self.error_plot(self._whiten(name)(self.data), title=title,
+                               ax=ax)
+
+    def _qq_panel(self, name, band_perc, title, ax):
+        from . import viz
+
+        theo_q, sorted_data, bands = self.qq_band_data(name, band_perc)
+        return viz.draw_qq(theo_q, sorted_data, bands, self.style,
+                           title=title, ax=ax)
 
     def individual_errors(self, title='Individual Errors', ax=None):
-        err = self.diagnostic.individual_errors(self.data)
-        return self.error_plot(err, title=title, ax=ax)
-
-    def individual_errors_qq(self, title='Individual QQ Plot', ax=None):
-        return self.qq(self.data, self.samples, [0.68, 0.95],
-                       self.diagnostic.individual_errors, title=title, ax=ax)
+        return self._errors_panel('individual', title, ax)
 
     def cholesky_errors(self, title='Cholesky Errors', ax=None):
-        err = self.diagnostic.cholesky_errors(self.data)
-        return self.error_plot(err, title=title, ax=ax)
+        return self._errors_panel('cholesky', title, ax)
 
-    def cholesky_errors_qq(self, title='Cholesky QQ Plot', ax=None):
-        return self.qq(self.data, self.samples, [0.68, 0.95],
-                       self.diagnostic.cholesky_errors, title=title, ax=ax)
-
-    def pivoted_cholesky_errors(self, title='Pivoted Cholesky Errors', ax=None):
-        err = self.diagnostic.pivoted_cholesky_errors(self.data)
-        return self.error_plot(err, title=title, ax=ax)
-
-    def pivoted_cholesky_errors_qq(self, title='Pivoted Cholesky QQ Plot', ax=None):
-        return self.qq(self.data, self.samples, [0.68, 0.95],
-                       self.diagnostic.pivoted_cholesky_errors, title=title, ax=ax)
+    def pivoted_cholesky_errors(self, title='Pivoted Cholesky Errors',
+                                ax=None):
+        return self._errors_panel('pivoted_cholesky', title, ax)
 
     def eigen_errors(self, title='Eigen Errors', ax=None):
-        err = self.diagnostic.eigen_errors(self.data)
-        return self.error_plot(err, title=title, ax=ax)
+        return self._errors_panel('eigen', title, ax)
+
+    def individual_errors_qq(self, title='Individual QQ Plot', ax=None):
+        return self._qq_panel('individual', (0.68, 0.95), title, ax)
+
+    def cholesky_errors_qq(self, title='Cholesky QQ Plot', ax=None):
+        return self._qq_panel('cholesky', (0.68, 0.95), title, ax)
+
+    def pivoted_cholesky_errors_qq(self, title='Pivoted Cholesky QQ Plot',
+                                   ax=None):
+        return self._qq_panel('pivoted_cholesky', (0.68, 0.95), title, ax)
 
     def eigen_errors_qq(self, title='Eigen QQ Plot', ax=None):
-        return self.qq(self.data, self.samples, [0.68, 0.95],
-                       self.diagnostic.eigen_errors, title=title, ax=ax)
+        return self._qq_panel('eigen', (0.68, 0.95), title, ax)
+
+    def qq(self, data, ref, band_perc, func, title=None, ax=None):
+        """Generic QQ panel for a custom whitening map ``func`` (kept for
+        API parity with the reference; the named ``*_qq`` methods cover the
+        standard maps)."""
+        from . import viz
+
+        N = jnp.asarray(data).shape[0]
+        probs = (jnp.arange(1, N + 1) - 0.5) / N
+        theo_q = np.asarray(self.diagnostic.std_udist.ppf(probs))
+        sorted_data = np.sort(np.asarray(func(data)), axis=0)
+        bands = viz.sorted_sample_envelope(func(ref), band_perc)
+        return viz.draw_qq(theo_q, sorted_data, bands, self.style,
+                           title=title, ax=ax)
 
     # ------------------------------------------------------------------
-    # Histogram / violin / box renderers
+    # Distribution summaries (hist / box / violin)
     # ------------------------------------------------------------------
-    def hist(self, data, ref, title=None, xlabel=None, ylabel=None, vlines=True,
-             ax=None):
-        import matplotlib.pyplot as plt
+    def _dist_grid(self, dist, n=200, tail=2e-3):
+        lo = float(np.asarray(dist.ppf(tail)))
+        hi = float(np.asarray(dist.ppf(1.0 - tail)))
+        xs = np.linspace(lo, hi, n)
+        return xs, np.asarray(dist.pdf(xs))
 
-        if ax is None:  # reference has this check after first use of ax — fixed here
-            ax = plt.gca()
+    def hist(self, data, ref, title=None, xlabel=None, ylabel=None,
+             vlines=True, ax=None):
+        """Observed statistics against a reference distribution (an object
+        with ppf/pdf) or a set of reference samples (an array)."""
+        from . import viz
 
         if hasattr(ref, 'ppf'):
-            lower_95 = float(np.asarray(ref.ppf(0.975)))
-            upper_95 = float(np.asarray(ref.ppf(0.025)))
-            x = np.linspace(lower_95, upper_95, 100)
-            ax.plot(x, np.asarray(ref.pdf(x)), label='ref', color=self.black)
+            xs, pdf = self._dist_grid(ref)
+            two_sigma = (ref.ppf(0.025), ref.ppf(0.975))
+            ax = viz.draw_pdf_reference(
+                xs, pdf, data, self.style, labels=self.labels, title=title,
+                xlabel=xlabel, two_sigma=two_sigma, vlines=vlines, ax=ax)
         else:
-            ref = np.asarray(ref)
-            ref_sd = np.std(ref, ddof=1)
-            ref_mean = np.mean(ref)
-            lower_95 = ref_mean - 2 * ref_sd
-            upper_95 = ref_mean + 2 * ref_sd
-            ax.hist(ref, density=1, label='ref', histtype='step', color=self.black)
+            import matplotlib.pyplot as plt
 
-        ax.axvline(lower_95, 0, 1, color='gray', linestyle='--', label=r'$2\sigma$')
-        ax.axvline(upper_95, 0, 1, color='gray', linestyle='--')
-        if vlines:
-            for c, d in zip(cycle(self.color_cycle), np.atleast_1d(np.asarray(data))):
-                ax.axvline(d, 0, 1, zorder=50, **c)
-        else:
-            ax.hist(np.asarray(data), density=1, label='data', histtype='step')
-        ax.legend()
-        if title is not None:
-            ax.set_title(title)
-        if xlabel is not None:
-            ax.set_xlabel(xlabel)
-        if ylabel is not None:
+            if ax is None:
+                ax = plt.gca()
+            ref = np.asarray(ref).ravel()
+            m, sd = float(ref.mean()), float(ref.std(ddof=1))
+            ax.hist(ref, density=True, histtype='step', color=self.black,
+                    label='ref')
+            for v in (m - 2 * sd, m + 2 * sd):
+                ax.axvline(v, color='gray', ls='--', lw=1)
+            if vlines:
+                for i, v in enumerate(np.atleast_1d(np.asarray(data))):
+                    ax.axvline(float(v), zorder=10,
+                               color=self.colors[i % len(self.colors)])
+            else:
+                ax.hist(np.asarray(data), density=True, histtype='step',
+                        label='data')
+            ax.legend(fontsize='small')
+            if title:
+                ax.set_title(title)
+            if xlabel:
+                ax.set_xlabel(xlabel)
+        if ylabel:
             ax.set_ylabel(ylabel)
         return ax
 
-    def violin(self, data, ref, title=None, xlabel=None, ylabel=None, ax=None):
-        import matplotlib.pyplot as plt
-        import pandas as pd
-        import seaborn as sns
-
-        if ax is None:
-            ax = plt.gca()
-        data = np.asarray(data)
-        ref = np.asarray(ref)
-        nref = len(ref)
-        orders = np.arange(len(data))
-        zero = np.zeros(len(data), dtype=int)
-        nans = np.nan * np.ones(nref)
-        fake = np.hstack((np.ones(nref, dtype=bool), np.zeros(nref, dtype=bool)))
-        fake_ref = np.hstack((fake[:, None], np.hstack((ref, nans))[:, None]))
-
-        label = 'label_'
-        ref_df = pd.DataFrame(fake_ref, columns=['fake', label])
-        tidy_data = np.hstack((orders[:, None], data[:, None]))
-        data_df = pd.DataFrame(tidy_data, columns=['orders', label])
-        sns.violinplot(x=np.zeros(2 * nref, dtype=int), y=label, data=ref_df,
-                       color=self.gray, hue='fake', split=True, inner='box', ax=ax)
-        with sns.color_palette(self.colors):
-            sns.swarmplot(x=zero, y=label, data=data_df, hue='orders', ax=ax)
-        ax.set_ylabel(ylabel)
-        ax.set_xlabel(xlabel)
-        ax.set_title(title)
-        ax.set_xlim(-0.05, 0.5)
-        return ax
-
-    def box(self, data, ref, title=None, xlabel=None, ylabel=None, trim=True,
-            size=8, legend=False, ax=None):
-        import matplotlib.pyplot as plt
-        import pandas as pd
-        import seaborn as sns
-
-        if ax is None:
-            ax = plt.gca()
-
-        label = 'labelll'
-        data = np.asarray(data)
+    def box(self, data, ref, title=None, xlabel=None, ylabel=None,
+            trim=True, ax=None):
+        from . import viz
 
         if hasattr(ref, 'ppf'):
-            gray = 'gray'
-            boxartist = self._dist_boxplot(ref, ax=ax, positions=[0],
-                                           patch_artist=True, widths=0.8)
-            for box_ in boxartist['boxes']:
-                box_.update(dict(facecolor='lightgrey', edgecolor=gray))
-            for whisk in boxartist['whiskers']:
-                whisk.update(dict(color=gray))
-            for cap in boxartist['caps']:
-                cap.update(dict(color=gray))
-            for med in boxartist['medians']:
-                med.update(dict(color=gray))
+            ppf = ref.ppf
         else:
-            ref = np.asarray(ref)
-            nref = len(ref)
-            ref_df = pd.DataFrame(ref, columns=[label])
-            sns.boxplot(x=np.zeros(nref, dtype=int), y=label, data=ref_df,
-                        color='lightgrey', ax=ax, fliersize=0,
-                        whis=[2.5, 97.5], bootstrap=None)
-
-        n = len(data)
-        orders = np.array([r'$c_{{{}}}$'.format(i) for i in range(n)])
-        zero = np.zeros(len(data), dtype=int)
-        tidy_data = np.array([orders, data], dtype=object).T
-        data_df = pd.DataFrame(tidy_data, columns=['orders', label])
-        data_df[label] = data_df[label].astype(float)
-        with sns.color_palette(self.colors):
-            ss = sns.swarmplot(x=zero, y=label, data=data_df, hue='orders',
-                               ax=ax, size=size, linewidth=0.5)
-            # locate the swarm's point collection (its position in
-            # ax.collections varies across seaborn versions)
-            swarm = next(c for c in reversed(ss.collections)
-                         if len(c.get_offsets()) == len(data))
-            positions = np.asarray(swarm.get_offsets())
-            swarm.remove()
-            _, idx, inv = np.unique(data_df[label].values, return_index=True,
-                                    return_inverse=True)
-            positions = positions[inv]
-        for i, (x, y) in enumerate(positions):
-            ax.plot([x], [y], marker=self.markers[i], ls='', markersize=size,
-                    zorder=5 + i, c=self.colors[i],
-                    fillstyle=self.markerfillstyles[i],
-                    markeredgecolor=self.markeredgecolors[i],
-                    markeredgewidth=0.5, clip_on=False)
-
-        ax.set_ylabel(ylabel)
-        ax.set_xticks([])
-        ax.set_xlabel(xlabel)
-        ax.set_title(title)
-        if legend:
-            ax.legend(title=None)
-        else:
-            leg = ax.get_legend()
-            if leg is not None:
-                leg.remove()
-        sns.despine(offset=0, trim=trim, bottom=True, ax=ax)
+            arr = np.asarray(ref).ravel()
+            ppf = lambda q: np.quantile(arr, q)   # noqa: E731
+        ax = viz.draw_dist_box(ppf, data, self.style, title=title, ax=ax)
+        if xlabel:
+            ax.set_xlabel(xlabel)
+        if ylabel:
+            ax.set_ylabel(ylabel)
         return ax
 
-    @staticmethod
-    def _dist_boxplot(dist, q1=0.25, q3=0.75, whislo=0.025, whishi=0.975,
-                      label=None, ax=None, other_stats=None, **kwargs):
-        """Boxplot stats computed from a (frozen) distribution object."""
-        import matplotlib.pyplot as plt
+    def violin(self, data, ref, title=None, xlabel=None, ylabel=None,
+               ax=None):
+        from . import viz
 
-        if ax is None:
-            ax = plt.gca()
-        stat_dict = [{'med': float(np.asarray(dist.median())),
-                      'q1': float(np.asarray(dist.ppf(q1))),
-                      'q3': float(np.asarray(dist.ppf(q3))),
-                      'whislo': float(np.asarray(dist.ppf(whislo))),
-                      'whishi': float(np.asarray(dist.ppf(whishi)))}]
-        if label is not None:
-            stat_dict[0]['label'] = label
-        if other_stats is not None:
-            stat_dict = [*stat_dict, *other_stats]
-        return ax.bxp(stat_dict, showfliers=False, **kwargs)
-
-    def qq(self, data, ref, band_perc, func, title=None, ax=None):
-        import matplotlib.pyplot as plt
-
-        data = np.sort(np.asarray(func(jnp.asarray(data))), axis=0)
-        ref = np.sort(np.asarray(func(jnp.asarray(ref))), axis=0)
-        bands = np.array([
-            np.percentile(ref, [100 * (1. - bi) / 2, 100 * (1. + bi) / 2], axis=1)
-            for bi in band_perc])
-        n = data.shape[0]
-        quants = (np.arange(1, n + 1) - 0.5) / n
-        q_theory = np.asarray(self.diagnostic.std_udist.ppf(quants))
-
-        if ax is None:
-            ax = plt.gca()
-
-        for i in range(len(band_perc) - 1, -1, -1):
-            ax.fill_between(q_theory, bands[i, 0], bands[i, 1], alpha=0.5,
-                            color='gray')
-
-        for i, dat in enumerate(data.T):
-            ax.plot(q_theory, dat, c=self.colors[i], label=self.labels[i])
-        yl, yu = ax.get_ylim()
-        xl, xu = ax.get_xlim()
-        ax.plot([xl, xu], [xl, xu], c=self.black)
-        ax.set_ylim([yl, yu])
-        ax.set_xlim([xl, xu])
-        if title is not None:
-            ax.set_title(title)
-        ax.set_xlabel('Theoretical Quantiles')
-        ax.set_ylabel('Empirical Quantiles')
+        if hasattr(ref, 'pdf'):
+            xs, pdf = self._dist_grid(ref)
+        else:
+            arr = np.asarray(ref).ravel()
+            xs = np.linspace(arr.min(), arr.max(), 100)
+            h = max(arr.std(ddof=1) * arr.size ** (-0.2), 1e-12)
+            pdf = np.exp(-0.5 * ((xs[:, None] - arr[None]) / h) ** 2
+                         ).sum(axis=1) / (arr.size * h * np.sqrt(2 * np.pi))
+        ax = viz.draw_dist_violin(xs, pdf, data, self.style, title=title,
+                                  ax=ax)
+        if xlabel:
+            ax.set_xlabel(xlabel)
+        if ylabel:
+            ax.set_ylabel(ylabel)
         return ax
 
     # ------------------------------------------------------------------
-    # Composite diagnostics
+    # Named diagnostics
     # ------------------------------------------------------------------
-    def md_squared(self, ax=None, type='hist', title='Mahalanobis Distance',
-                   xlabel='MD', **kwargs):
-        import matplotlib.pyplot as plt
-
-        if ax is None:
-            ax = plt.gca()
-        md_data = self.diagnostic.md_squared(self.data)
-        if type == 'hist':
-            return self.hist(md_data, self.md_ref_dist, title=title,
-                             xlabel=xlabel, ax=ax, **kwargs)
-        elif type == 'box':
-            return self.box(md_data, self.md_ref_dist, title=title,
-                            xlabel=xlabel, ax=ax, **kwargs)
+    def md_squared(self, ax=None, type='hist',
+                   title='Mahalanobis Distance', **kwargs):
+        """Squared Mahalanobis distance of each curve vs its reference
+        distribution (χ²(n), or a scaled F for the Student-t process)."""
+        md = np.atleast_1d(np.asarray(self.diagnostic.md_squared(self.data)))
+        renderer = {'hist': self.hist, 'box': self.box,
+                    'violin': self.violin}[type]
+        return renderer(md, self.md_ref_dist, title=title, ax=ax, **kwargs)
 
     def kl(self, X, gp, predict=False, vlines=True, title='KL Divergence',
-           xlabel='KL', ax=None):
-        R"""KL of refit GPs for data and reference samples.
-
-        reference: diagnostics.py:527-555 (refits the GP once per reference
-        sample — the heaviest diagnostic).
-        """
-        import matplotlib.pyplot as plt
-
-        if ax is None:
-            ax = plt.gca()
-        ref_means, ref_covs = [], []
-        for sample in np.asarray(self.samples).T:
-            gp.fit(X, jnp.asarray(sample))
-            if predict:
-                mean, cov = gp.predict(X, return_cov=True)
-            else:
-                mean, cov = gp.mean(X), gp.cov(X)
-            ref_means.append(mean)
-            ref_covs.append(cov)
-
-        data_means, data_covs = [], []
-        for data in np.atleast_2d(np.asarray(self.data)).T:
-            gp.fit(X, jnp.asarray(data))
-            if predict:
-                mean, cov = gp.predict(X, return_cov=True)
-            else:
-                mean, cov = gp.mean(X), gp.cov(X)
-            data_means.append(mean)
-            data_covs.append(cov)
-
-        kl_ref = [float(np.asarray(self.diagnostic.kl(m, c)))
-                  for m, c in zip(ref_means, ref_covs)]
-        kl_data = [float(np.asarray(self.diagnostic.kl(m, c)))
-                   for m, c in zip(data_means, data_covs)]
-        return self.hist(kl_data, kl_ref, title=title, xlabel=xlabel,
-                         vlines=vlines, ax=ax)
-
-    def credible_interval(self, intervals, band_perc,
-                          title='Credible Interval Diagnostic',
-                          xlabel='Credible Interval',
-                          ylabel='Empirical Coverage', ax=None, linestyles=None):
-        import matplotlib as mpl
-        import matplotlib.pyplot as plt
-
-        intervals = np.asarray(intervals)
-        dci_data = np.atleast_2d(np.asarray(
-            self.diagnostic.credible_interval(self.data, intervals)))
-        dci_ref = np.asarray(
-            self.diagnostic.credible_interval(self.samples, intervals))
-        bands = np.array([
-            np.percentile(dci_ref, [100 * (1. - bi) / 2, 100 * (1. + bi) / 2], axis=0)
-            for bi in band_perc])
-        greys = mpl.colormaps['Greys']
-        if ax is None:
-            ax = plt.gca()
-        band_perc = np.sort(band_perc)
-        for i, perc in enumerate(band_perc):
-            ax.fill_between(intervals, bands[i, 0], bands[i, 1], alpha=1.,
-                            color=greys((len(band_perc) - i) / (len(band_perc) + 2.5)),
-                            zorder=-perc)
-
-        ax.plot([0, 1], [0, 1], c=self.black)
-        for i, data in enumerate(dci_data):
-            ls = None if linestyles is None else linestyles[i]
-            ax.plot(intervals, data, color=self.colors[i], ls=ls,
-                    label=self.labels[i])
-        ax.set_xlim([0, 1])
-        ax.set_ylim([0, 1])
-        ax.set_ylabel(ylabel)
-        ax.set_xlabel(xlabel)
-        ax.set_title(title)
-        return ax
-
-    def variogram(self, X, title='Variogram', xlabel='Lag', ax=None):
-        import matplotlib.pyplot as plt
-
-        y = self.data
+           ax=None):
+        """Where the data's KL falls among reference draws: the GP is refit
+        to every reference sample and to each data curve; each fit's
+        (mean, cov) at X is compared to the diagnostic's via KL."""
         X = np.asarray(X)
-        N = len(X)
-        nbins = int(np.ceil((N * (N - 1) / 2.) ** (1. / 3)))
-        bin_bounds = np.linspace(0, np.max(np.linalg.norm(X, axis=-1)), nbins)
-        v, loc, gamma, lower, upper = self.diagnostic.variogram(X, np.asarray(y).T,
-                                                               bin_bounds)
-        if ax is None:
-            ax = plt.gca()
-        ax.set_title(title)
-        ax.set_xlabel(xlabel)
-        gamma, lower, upper = np.asarray(gamma), np.asarray(lower), np.asarray(upper)
-        for i in range(gamma.shape[1]):
-            ax.plot(loc, gamma[:, i], ls='', marker='o', c=self.colors[i])
-            ax.plot(loc, lower[:, i], lw=0.5, c=self.colors[i])
-            ax.plot(loc, upper[:, i], lw=0.5, c=self.colors[i])
-        return ax
 
-    def plotzilla(self, X, gp=None, predict=False, vlines=True):
-        R"""Everything-at-once diagnostic dashboard.  reference: diagnostics.py:604-624."""
+        def fit_kl(y):
+            g = gp.fit(X, np.asarray(y))
+            if predict:
+                m, c = g.predict(X, return_cov=True)
+            else:
+                m, c = g.mean(X), g.cov(X)
+            return float(np.asarray(self.diagnostic.kl(m, c)))
+
+        ref_kls = np.asarray([fit_kl(self.samples[:, i])
+                              for i in range(self.samples.shape[1])])
+        data_kls = np.asarray([fit_kl(self.data[:, i])
+                               for i in range(self.data.shape[1])])
+        return self.hist(data_kls, ref_kls, title=title, vlines=vlines,
+                         ax=ax)
+
+    def credible_interval(self, intervals, band_perc, ax=None,
+                          title='Credible Interval Diagnostic'):
+        from . import viz
+
+        intervals = np.atleast_1d(np.asarray(intervals, dtype=float))
+        data_cov, bands = self.coverage_band_data(intervals, band_perc)
+        return viz.draw_coverage(intervals, data_cov, bands, self.style,
+                                 title=title, ax=ax)
+
+    def variogram(self, X, title='Variogram', xlabel='Lag', ax=None,
+                  n_bins=6):
         import matplotlib.pyplot as plt
 
-        fig, axes = plt.subplots(4, 3, figsize=(12, 12))
-        self.md_squared(vlines=vlines, ax=axes[0, 0])
+        if ax is None:
+            ax = plt.gca()
+        X = np.asarray(X)
+        d = np.sqrt(((X[:, None, :] - X[None, :, :]) ** 2).sum(-1))
+        bounds = np.linspace(1e-8, d.max(), n_bins + 1)[1:]
+        y = np.asarray(self.data).T   # (n_curves, n_samples)
+        _, loc, gamma, lower, upper = self.diagnostic.variogram(X, y, bounds)
+        loc = np.asarray(loc)
+        gamma = np.atleast_2d(np.asarray(gamma).T)
+        lower = np.atleast_2d(np.asarray(lower).T)
+        upper = np.atleast_2d(np.asarray(upper).T)
+        for i in range(gamma.shape[0]):
+            c = self.style.curve(i)
+            ax.plot(loc, gamma[i], color=c['color'], marker=c['marker'],
+                    ls='-')
+            ax.fill_between(loc, lower[i], upper[i], facecolor=c['color'],
+                            alpha=0.2, lw=0)
+        ax.set_xlabel(xlabel)
+        if title:
+            ax.set_title(title)
+        return ax
+
+    # ------------------------------------------------------------------
+    # Dashboards
+    # ------------------------------------------------------------------
+    def plotzilla(self, X, gp=None, predict=False, vlines=True):
+        """Everything at once: the four error maps and their QQ panels,
+        MD², credible-interval coverage, variogram, and (given a gp) KL."""
+        from . import viz
+
+        panels = [
+            lambda ax: self.individual_errors(ax=ax),
+            lambda ax: self.cholesky_errors(ax=ax),
+            lambda ax: self.pivoted_cholesky_errors(ax=ax),
+            lambda ax: self.eigen_errors(ax=ax),
+            lambda ax: self.individual_errors_qq(ax=ax),
+            lambda ax: self.cholesky_errors_qq(ax=ax),
+            lambda ax: self.pivoted_cholesky_errors_qq(ax=ax),
+            lambda ax: self.eigen_errors_qq(ax=ax),
+            lambda ax: self.md_squared(ax=ax, vlines=vlines),
+            lambda ax: self.credible_interval(
+                np.linspace(0.001, 0.999, 50), (0.68, 0.95), ax=ax),
+            lambda ax: self.variogram(X, ax=ax),
+        ]
         if gp is not None:
-            self.kl(X, gp, predict, vlines=vlines, ax=axes[0, 1])
-        self.credible_interval(np.linspace(0, 1, 101), [0.68, 0.95], ax=axes[0, 2])
-        self.individual_errors(ax=axes[1, 0])
-        self.individual_errors_qq(ax=axes[2, 0])
-        self.cholesky_errors(ax=axes[1, 1])
-        self.cholesky_errors_qq(ax=axes[2, 1])
-        self.eigen_errors(ax=axes[1, 2])
-        self.eigen_errors_qq(ax=axes[2, 2])
-        self.pivoted_cholesky_errors(ax=axes[3, 0])
-        self.pivoted_cholesky_errors_qq(ax=axes[3, 1])
-        fig.tight_layout()
+            panels.append(lambda ax: self.kl(X, gp, predict=predict,
+                                             vlines=vlines, ax=ax))
+        fig, axes = viz.grid_figure(len(panels), ncols=4)
+        for panel, ax in zip(panels, axes.flat):
+            panel(ax)
         return fig, axes
 
     def essentials(self, vlines=True, bare=False):
-        R"""The three core diagnostics (MD², pivoted-Cholesky errors, CI coverage).
+        """The short dashboard: Cholesky error index plot, MD², and
+        credible-interval coverage."""
+        from . import viz
 
-        reference: diagnostics.py:626-669.
-        """
-        import matplotlib.pyplot as plt
-
+        fig, axes = viz.grid_figure(3, ncols=3)
+        self.cholesky_errors(ax=axes.flat[0],
+                             title=None if bare else 'Cholesky Errors')
+        self.md_squared(ax=axes.flat[1], vlines=vlines,
+                        title=None if bare else 'Mahalanobis Distance')
+        self.credible_interval(
+            np.linspace(0.001, 0.999, 50), (0.68, 0.95), ax=axes.flat[2],
+            title=None if bare else 'Credible Interval Diagnostic')
         if bare:
-            fig, axes = plt.subplots(1, 3, figsize=(7, 3))
-            self.md_squared(vlines=vlines, ax=axes[0])
-            self.pivoted_cholesky_errors(ax=axes[1])
-            self.credible_interval(np.linspace(0, 1, 101), [0.68, 0.95], ax=axes[2])
-            axes[0].set_title('')
-            axes[0].legend(title=r'$\mathrm{D}_{\mathrm{MD}}$')
-            axes[0].set_ylabel('')
-            axes[0].set_yticks([])
-            axes[1].set_yticks([])
-            axes[1].legend(title=r'$\mathrm{D}_{\mathrm{PC}}$')
-            axes[1].set_title('')
-            axes[1].set_ylabel('')
-            axes[2].set_title('')
-            axes[2].set_ylabel('')
-            axes[2].set_xticks([0, 0.5, 1])
-            axes[2].set_xticklabels(['0', '0.5', '1'])
-            axes[2].yaxis.tick_right()
-            axes[2].text(0.05, 0.94, r'$\mathrm{D}_{\mathrm{CI}}$',
-                         transform=axes[2].transAxes, verticalalignment='top',
-                         bbox=dict(boxstyle='round', facecolor='white',
-                                   alpha=0.5, ec='grey'))
-            fig.tight_layout(h_pad=0.01, w_pad=0.1)
-        else:
-            fig, axes = plt.subplots(2, 3, figsize=(12, 6))
-            self.md_squared(vlines=vlines, ax=axes[0, 0])
-            self.credible_interval(np.linspace(0, 1, 101), [0.68, 0.95], ax=axes[1, 0])
-            self.eigen_errors(ax=axes[0, 1])
-            self.eigen_errors_qq(ax=axes[1, 1])
-            self.pivoted_cholesky_errors(ax=axes[0, 2])
-            self.pivoted_cholesky_errors_qq(ax=axes[1, 2])
-            fig.tight_layout()
+            for ax in axes.flat:
+                leg = ax.get_legend()
+                if leg is not None:
+                    leg.remove()
         return fig, axes

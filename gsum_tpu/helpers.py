@@ -341,6 +341,61 @@ def default_attributes(**kws):
     return decorator
 
 
+def _fourth_root_corr(rho, corr_factor):
+    R"""Correlation of 4th-root differences given the underlying rho:
+    ``corr_factor * ((1 - rho²) · ₂F₁(¾, ¾; ½; rho²) - 1)``, clamped at ±1.
+
+    On the TPU backend the hypergeometric series is evaluated in float32:
+    the x64 rewriter cannot compile jax.scipy's f64 ``hyp2f1`` (its signbit
+    uses a 64-bit bitcast with no TPU lowering), and the variogram bands
+    are a plotting-path statistic where 1e-7 accuracy is ample (see
+    docs/parity.md).
+    """
+    from jax.scipy.special import hyp2f1
+
+    rho_sq = rho ** 2
+    # hyp2f1 diverges for |rho| >= 1; clamp the argument and overwrite below
+    safe = jnp.clip(rho_sq, 0.0, 1.0 - 1e-12)
+    if jax.default_backend() == 'tpu' and safe.dtype == jnp.float64:
+        h = hyp2f1(jnp.float32(0.75), jnp.float32(0.75), jnp.float32(0.5),
+                   safe.astype(jnp.float32)).astype(safe.dtype)
+    else:
+        h = hyp2f1(0.75, 0.75, 0.5, safe)
+    corr = ((1 - rho_sq) * h - 1) * corr_factor
+    corr = jnp.where(rho >= 1., 1., corr)
+    corr = jnp.where(rho <= -1., -1., corr)
+    return corr
+
+
+@jax.jit
+def _bin_var_batched(gam_grid, pi, pj, msk, corr_factor, var_factor):
+    R"""Per-bin variance of the binned 4th-root variogram in one call.
+
+    Parameters
+    ----------
+    gam_grid : (N, N, n_curves) gamma-tilde lookup grid
+    pi, pj : (Nb, M) padded point indices of each bin's pairs
+    msk : (Nb, M) validity mask
+    Returns (Nb, n_curves) masked pair-of-pairs covariance means.
+    """
+    i, j = pi[:, :, None], pj[:, :, None]           # (Nb, M, 1)
+    k, l = pi[:, None, :], pj[:, None, :]           # (Nb, 1, M)
+    gam = gam_grid
+    rho = (gam[j, k] + gam[i, l] - gam[i, k] - gam[j, l]) \
+        / (2 * jnp.sqrt(gam[i, j] * gam[k, l]))     # (Nb, M, M, C)
+    corr = _fourth_root_corr(rho, corr_factor)
+    same = ((i == k) & (j == l))[..., None]
+    corr = jnp.where(same, 1.0, corr)
+    var_i = var_factor * jnp.sqrt(gam[i, j])
+    var_k = var_factor * jnp.sqrt(gam[k, l])
+    cov = corr * jnp.sqrt(var_i * var_k)
+    w = (msk[:, :, None] & msk[:, None, :])[..., None]
+    cov = jnp.where(w, cov, 0.0)
+    counts = jnp.sum(msk, axis=1).astype(cov.dtype)  # (Nb,)
+    denom = (counts * counts)[:, None]
+    return jnp.where(denom > 0, jnp.sum(cov, axis=(1, 2)) / denom, 0.0)
+
+
 class VariogramFourthRoot:
     R"""Empirical semivariogram with 4th-root-transform uncertainty bands.
 
@@ -430,17 +485,8 @@ class VariogramFourthRoot:
 
     def corr_ijkl(self, i, j, k, l):
         R"""Correlation of the 4th-root-transformed differences.  reference: helpers.py:635-652."""
-        from jax.scipy.special import hyp2f1
-
         rho = self.rho_ijkl(i, j, k, l)
-        rho_sq = rho ** 2
-        # hyp2f1 diverges for |rho| >= 1; clamp the argument and overwrite below
-        safe = jnp.clip(rho_sq, 0.0, 1.0 - 1e-12)
-        corr = (1 - rho_sq) * hyp2f1(0.75, 0.75, 0.5, safe) - 1
-        corr = corr * self.corr_factor
-        corr = jnp.where(rho >= 1., 1., corr)
-        corr = jnp.where(rho <= -1., -1., corr)
-        return corr
+        return _fourth_root_corr(rho, self.corr_factor)
 
     def var_ij(self, i, j):
         R"""Variance of sqrt|Z_i - Z_j| estimated by gamma tilde.  reference: helpers.py:667-669."""
@@ -450,19 +496,35 @@ class VariogramFourthRoot:
     def cov_ijkl(self, i, j, k, l):
         R"""Covariance of 4th-root differences; correlation 1 when (i,j)==(k,l).
 
+        Shape-polymorphic: i, j, k, l may be any broadcastable integer
+        arrays (a trailing curve axis is appended when n_curves > 1).
         reference: helpers.py:654-665.
         """
-        i, j, k, l = (jnp.atleast_1d(jnp.asarray(a)) for a in (i, j, k, l))
-        same = ((i == k) & (j == l))[..., None] if self.Ncurves > 1 else (i == k) & (j == l)
+        i, j, k, l = jnp.broadcast_arrays(*(jnp.asarray(a)
+                                            for a in (i, j, k, l)))
         corr = self.corr_ijkl(i, j, k, l)
-        same_b = jnp.broadcast_to(jnp.reshape((i == k) & (j == l), (i.shape[0],) + (1,) * (corr.ndim - 1)), corr.shape)
-        corr = jnp.where(same_b, 1.0, corr)
+        same = (i == k) & (j == l)
+        if corr.ndim == same.ndim + 1:   # trailing curve axis
+            same = same[..., None]
+        corr = jnp.where(same, 1.0, corr)
         return corr * jnp.sqrt(self.var_ij(i, j) * self.var_ij(k, l))
 
+    def _bin_pair_indices(self):
+        """Padded (Nb, M) pair-index / mask arrays, M = max pairs per bin."""
+        M = max(int(self.bin_counts.max()), 1)
+        idx = np.zeros((self.Nb, M), dtype=int)
+        msk = np.zeros((self.Nb, M), dtype=bool)
+        for b in range(self.Nb):
+            ii = np.nonzero(self.bin_mask[b])[0]
+            idx[b, :len(ii)] = ii
+            msk[b, :len(ii)] = True
+        return idx, msk
+
     def cov(self, bin1, bin2=None):
-        R"""Average pair-of-pairs covariance between two bins.  reference: helpers.py:671-695."""
-        mask1 = self.bin_mask[bin1]
-        idx1 = np.nonzero(mask1)[0]
+        R"""Average pair-of-pairs covariance between two bins — one device
+        call (the pair-of-pairs grid is evaluated as a single batched
+        tensor op).  reference: helpers.py:671-695."""
+        idx1 = np.nonzero(self.bin_mask[bin1])[0]
         nb1 = self.bin_counts[bin1]
         if bin2 is None or bin2 == bin1:
             nb2, idx2 = nb1, idx1
@@ -471,12 +533,11 @@ class VariogramFourthRoot:
             idx2 = np.nonzero(self.bin_mask[bin2])[0]
         if (nb1 * nb2) == 0:
             return 0.
-        i = self.pair_i[idx1][:, None] + np.zeros(len(idx2), dtype=int)
-        j = self.pair_j[idx1][:, None] + np.zeros(len(idx2), dtype=int)
-        k = self.pair_i[idx2][None, :] + np.zeros((len(idx1), 1), dtype=int)
-        l = self.pair_j[idx2][None, :] + np.zeros((len(idx1), 1), dtype=int)
-        i, j, k, l = (a.ravel() for a in (i, j, k, l))
-        cov = jnp.sum(self.cov_ijkl(i, j, k, l), axis=0)
+        i = self.pair_i[idx1][:, None]
+        j = self.pair_j[idx1][:, None]
+        k = self.pair_i[idx2][None, :]
+        l = self.pair_j[idx2][None, :]
+        cov = jnp.sum(self.cov_ijkl(i, j, k, l), axis=(0, 1))
         return np.asarray(cov) / (nb1 * nb2)
 
     def variogram_scale(self, x):
@@ -486,11 +547,26 @@ class VariogramFourthRoot:
         return self.mean_factor * x ** 0.25
 
     def compute(self, rt_scale=False):
-        R"""Mean semivariogram and approximate 68% bands.  reference: helpers.py:703-730."""
+        R"""Mean semivariogram and approximate 68% bands.
+
+        reference: helpers.py:703-730 — but where the reference loops bins
+        on the host, the per-bin variances here are one jitted device call
+        over a padded (Nb, M, M) pair-of-pairs grid (falling back to
+        per-bin device calls if that grid would exceed ~3e7 elements).
+        """
         gam = self.gamma_star_mean if rt_scale else self.gamma_tilde
-        sd = np.zeros((self.Nb, self.Ncurves))
-        for i in range(self.Nb):
-            sd[i] = np.sqrt(self.cov(i))
+        idx, msk = self._bin_pair_indices()
+        M = idx.shape[1]
+        if self.Nb * M * M * self.Ncurves <= 3e7:
+            var = _bin_var_batched(
+                self.gamma_tilde_grid, jnp.asarray(self.pair_i[idx]),
+                jnp.asarray(self.pair_j[idx]), jnp.asarray(msk),
+                self.corr_factor, self.var_factor)
+            sd = np.sqrt(np.asarray(var))
+        else:
+            sd = np.zeros((self.Nb, self.Ncurves))
+            for b in range(self.Nb):
+                sd[b] = np.sqrt(self.cov(b))
         lower = self.gamma_star_mean - sd
         upper = self.gamma_star_mean + sd
         if not rt_scale:

@@ -167,3 +167,70 @@ def test_kl_plot_refits():
     X = np.linspace(0, 1, N)[:, None]
     g.kl(X, gp)
     plt.close('all')
+
+
+# ----------------------------------------------------------------------
+# Numeric assertions on the band computations behind the plots (r1
+# verdict: QQ/coverage bands need numbers, not just "it draws")
+# ----------------------------------------------------------------------
+def test_qq_band_numerics(graphical):
+    """qq_band_data must equal an independent numpy recomputation of the
+    simulation envelope: sort whitened draws within each draw, then take
+    pointwise quantiles of each order statistic across draws."""
+    import scipy.stats as st
+
+    g = graphical
+    theo_q, sorted_data, bands = g.qq_band_data('cholesky', (0.68, 0.95))
+
+    Nn = g.data.shape[0]
+    probs = (np.arange(1, Nn + 1) - 0.5) / Nn
+    np.testing.assert_allclose(theo_q, st.norm.ppf(probs), atol=1e-9)
+
+    errs_data = np.asarray(g.diagnostic.cholesky_errors(g.data))
+    np.testing.assert_allclose(sorted_data, np.sort(errs_data, axis=0),
+                               atol=1e-12)
+
+    errs_ref = np.sort(np.asarray(g.diagnostic.cholesky_errors(g.samples)),
+                       axis=0)
+    for (lo, hi), p in zip(bands, (0.68, 0.95)):
+        np.testing.assert_allclose(
+            lo, np.quantile(errs_ref, (1 - p) / 2, axis=1), atol=1e-7)
+        np.testing.assert_allclose(
+            hi, np.quantile(errs_ref, (1 + p) / 2, axis=1), atol=1e-7)
+        assert np.all(hi >= lo)
+
+
+def test_coverage_band_numerics(graphical):
+    """coverage_band_data must equal the quantiles of the reference draws'
+    empirical coverage, and the data coverage must match an independent
+    pointwise-interval count."""
+    import scipy.stats as st
+
+    g = graphical
+    intervals = np.linspace(0.1, 0.9, 5)
+    data_cov, bands = g.coverage_band_data(intervals, (0.68,))
+
+    # independent recomputation of the data coverage with scipy intervals
+    sd = np.sqrt(np.diag(cov))
+    lo, hi = st.norm.interval(intervals[:, None], loc=mean[None, :],
+                              scale=sd[None, :])
+    for ci, curve in enumerate(np.asarray(g.data).T):
+        want = np.mean((lo < curve[None, :]) & (curve[None, :] < hi), axis=1)
+        np.testing.assert_allclose(data_cov[ci], want, atol=1e-12)
+
+    ref_cov = np.asarray(g.diagnostic.credible_interval(g.samples, intervals))
+    (blo, bhi), = bands
+    np.testing.assert_allclose(blo, np.quantile(ref_cov, 0.16, axis=0),
+                               atol=1e-7)
+    np.testing.assert_allclose(bhi, np.quantile(ref_cov, 0.84, axis=0),
+                               atol=1e-7)
+
+
+def test_md_box_and_violin_render(graphical):
+    import matplotlib.pyplot as plt
+
+    graphical.md_squared(type='violin')
+    graphical.plotzilla(np.linspace(0, 1, N)[:, None],
+                        gp=gm.ConjugateGaussianProcess(
+                            kernel=gm.RBF(0.3, 'fixed'), nugget=1e-8))
+    plt.close('all')
