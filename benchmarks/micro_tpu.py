@@ -34,6 +34,10 @@ def timed_loop(step, x0, flops_per_iter, iters=8, repeats=3, consts=()):
     ``consts`` are extra device arrays passed as jit arguments (closure
     capture would embed them as HLO literals, which the remote compile
     service rejects for large operands).
+
+    The tunneled TPU runtime has a ~25-30 ms fixed round-trip per host
+    fetch; it is measured with a do-nothing jitted call on the same
+    operands and subtracted, so the result reflects device time only.
     """
     import jax
     import jax.numpy as jnp
@@ -43,14 +47,27 @@ def timed_loop(step, x0, flops_per_iter, iters=8, repeats=3, consts=()):
         x = jax.lax.fori_loop(0, iters, lambda i, v: step(v, *cs), x)
         return jnp.sum(x[..., :1, :1])
 
+    @jax.jit
+    def floor_run(x, *cs):
+        return jnp.sum(x[..., :1, :1])
+
     s = float(np.asarray(run(x0, *consts)))   # compile + warmup
     assert np.isfinite(s), 'non-finite output'
+    float(np.asarray(floor_run(x0, *consts)))
+
+    floors = []
+    for _ in range(repeats + 2):
+        t0 = time.perf_counter()
+        float(np.asarray(floor_run(x0, *consts)))
+        floors.append(time.perf_counter() - t0)
+    floor = min(floors)
+
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
         float(np.asarray(run(x0, *consts)))
         times.append(time.perf_counter() - t0)
-    dt = min(times) / iters
+    dt = max(min(times) - floor, 1e-9) / iters
     return flops_per_iter / dt / 1e9, dt
 
 

@@ -1,0 +1,242 @@
+R"""Blocked batched Cholesky for large N — the headline-pipeline factorization.
+
+XLA's native batched Cholesky runs the B=16, N=4096 headline config at
+~8 TF/s / ~45 ms on this TPU (benchmarks/micro_tpu.py, tunnel-floor
+corrected) — far below the MXU GEMM rate (~46 TF/s at 3-pass f32, ~26 at
+6-pass).  This module restructures the factorization so virtually all of
+the N³/3 FLOPs run as large batched GEMMs:
+
+- **left-looking column-block algorithm**: at step k the k-th column block
+  is updated with ONE GEMM against all previously finished columns.
+  Unlike the right-looking trailing update (a dense rem×rem SYRK per
+  step, 2× the necessary work without a symmetric-rank-k primitive),
+  left-looking performs exactly the counted N³/3 multiply-adds.
+- **diagonal blocks** go to one Pallas launch each
+  (``ops.pallas_chol.chol_inv_block``: factor + triangular inverse
+  computed in VMEM, ~0.5 ms at (16, 256) vs ~2-4 ms for any XLA
+  formulation, which is latency-bound at small batch);
+- **panel TRSMs** become GEMMs against those precomputed diagonal-block
+  inverses — the standard accelerator TRSM rewrite;
+- the **logpdf solve** reuses the same inverses in a blocked forward
+  substitution (N/block sequential steps instead of N).
+
+Everything is static-shape (the per-step Python loop unrolls at trace
+time), jit/vmap-safe, and differentiable via the analytic Cholesky
+adjoint.
+
+reference hot loop being replaced: gsum/models.py:957-1039 (one LAPACK
+``dpotrf`` per log-marginal-likelihood evaluation).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import _config  # noqa: F401
+from .smallchol import _cholesky_raw, _tri_inv_raw
+
+__all__ = ['batched_blocked_cholesky', 'blocked_chol_solve_logdet',
+           'blocked_solve_lower']
+
+_HI = jax.lax.Precision.HIGHEST
+_LOG_2PI = float(np.log(2 * np.pi))
+
+
+def _diag_engine(K, block, diag):
+    if diag != 'auto':
+        return diag
+    if (jax.default_backend() == 'tpu' and K.dtype == jnp.float32
+            and block % 32 == 0 and K.ndim == 3):
+        return 'pallas'
+    return 'recursive'
+
+
+def _factor_diag(Akk, leaf, engine):
+    """(L, Minv) of a (B, block, block) SPD diagonal block."""
+    if engine == 'pallas':
+        from .pallas_chol import chol_inv_block
+
+        return chol_inv_block(Akk)
+    L = _cholesky_raw(Akk, leaf)
+    return L, _tri_inv_raw(L, leaf)
+
+
+def _blocked_factor(K, block, leaf, precision, engine):
+    """Left-looking blocked factorization.
+
+    Returns (L, minvs): the factor and the list of diagonal-block
+    inverses (for TRSMs / the blocked solve).  Requires N % block == 0
+    (callers pad).
+    """
+    B_dims = K.shape[:-2]
+    N = K.shape[-1]
+    nb = N // block
+
+    cols = []            # finished column blocks, cols[k]: (..., N-k*b, b)
+    minvs = []
+    for k in range(nb):
+        s = k * block
+        A_col = K[..., s:, s:s + block]             # (..., N-s, b)
+        if k:
+            # one GEMM against all finished columns: rows s:, cols :s
+            L_left = jnp.concatenate(
+                [c[..., (s - (j * block)):, :] for j, c in enumerate(cols)],
+                axis=-1)                             # (..., N-s, s)
+            L_row = L_left[..., :block, :]           # (..., b, s)
+            A_col = A_col - jnp.matmul(
+                L_left, jnp.swapaxes(L_row, -1, -2), precision=precision)
+        Lkk, Minv = _factor_diag(A_col[..., :block, :], leaf, engine)
+        minvs.append(Minv)
+        if k < nb - 1:
+            Lp = jnp.matmul(A_col[..., block:, :],
+                            jnp.swapaxes(Minv, -1, -2), precision=precision)
+            cols.append(jnp.concatenate([Lkk, Lp], axis=-2))
+        else:
+            cols.append(Lkk)
+
+    full = [jnp.concatenate(
+        [jnp.zeros(B_dims + (k * block, block), K.dtype), c], axis=-2)
+        for k, c in enumerate(cols)]
+    return jnp.concatenate(full, axis=-1), minvs
+
+
+def _pad_spd(K, block):
+    """Pad K to a block multiple with an identity extension."""
+    B_dims = K.shape[:-2]
+    N = K.shape[-1]
+    nb = -(-N // block)
+    pad = nb * block - N
+    if not pad:
+        return K, 0
+    K = jnp.concatenate([
+        jnp.concatenate([K, jnp.zeros(B_dims + (N, pad), K.dtype)], -1),
+        jnp.concatenate([jnp.zeros(B_dims + (pad, N), K.dtype),
+                         jnp.broadcast_to(jnp.eye(pad, dtype=K.dtype),
+                                          B_dims + (pad, pad))], -1),
+    ], -2)
+    return K, pad
+
+
+def _blocked_cholesky_raw(K, block, leaf, precision, diag='auto'):
+    N = K.shape[-1]
+    if N <= block:
+        return _cholesky_raw(K, leaf)
+    engine = _diag_engine(K, block, diag)
+    K, pad = _pad_spd(K, block)
+    L, _ = _blocked_factor(K, block, leaf, precision, engine)
+    if pad:
+        L = L[..., :N, :N]
+    return L
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
+def batched_blocked_cholesky(K, block=256, leaf=32,
+                             precision=jax.lax.Precision.HIGHEST,
+                             diag='auto'):
+    R"""Cholesky of (..., N, N) SPD matrices with GEMM-dominated blocking.
+
+    Parameters
+    ----------
+    K : (..., N, N) SPD matrices (batch dims lead)
+    block : column-block width
+    leaf : leaf size of the recursive (non-Pallas) diagonal factorization
+    precision : MXU precision of the update/panel GEMMs.  HIGHEST (6-pass
+        f32) is the safe default for factorizations; HIGH (3-pass bf16)
+        is ~1.8x faster at ~1e-6 relative factor error — acceptable when
+        a nugget bounds the condition number.
+    diag : 'auto' | 'pallas' | 'recursive' — diagonal-block engine
+        ('auto': Pallas on TPU f32, recursive elsewhere)
+
+    Identical math to ``jnp.linalg.cholesky`` (same factor to round-off at
+    equal precision); see module docstring for why it is faster here.
+    """
+    return _blocked_cholesky_raw(K, block, leaf, precision, diag)
+
+
+def _bbc_fwd(K, block, leaf, precision, diag):
+    L = _blocked_cholesky_raw(K, block, leaf, precision, diag)
+    return L, L
+
+
+def _bbc_bwd(block, leaf, precision, diag, L, Lbar):
+    # standard analytic Cholesky adjoint (Murray 2016):
+    #   Ā = 0.5 · Mᵀ · sym(Φ(Lᵀ L̄)) · M,  M = L⁻¹
+    n = L.shape[-1]
+    Lt = jnp.swapaxes(L, -1, -2)
+    W = jnp.matmul(Lt, Lbar, precision=_HI)
+    W = jnp.tril(W) - 0.5 * W * jnp.eye(n, dtype=L.dtype)
+    M = _tri_inv_raw(L, leaf)
+    Mt = jnp.swapaxes(M, -1, -2)
+    Abar = jnp.matmul(Mt, jnp.matmul(W, M, precision=_HI), precision=_HI)
+    return (0.5 * (Abar + jnp.swapaxes(Abar, -1, -2)),)
+
+
+batched_blocked_cholesky.defvjp(_bbc_fwd, _bbc_bwd)
+
+
+def blocked_chol_solve_logdet(K, Y, block=256, leaf=32,
+                              precision=jax.lax.Precision.HIGHEST,
+                              diag='auto'):
+    R"""Factor K, solve ``L w = Y``, and return (w, logdet K) in one pass.
+
+    The fused headline pipeline: the blocked factorization's diagonal-block
+    inverses are reused for a blocked forward substitution (N/block
+    sequential GEMM steps — a leaf-recursive solve would be latency-bound
+    at N=4096).
+
+    Parameters
+    ----------
+    K : (..., N, N) SPD;  Y : (..., N, m)
+
+    Returns
+    -------
+    (w, logdet): ``w = L⁻¹ Y`` with ``K = L Lᵀ``, and log|K| (...,)
+    """
+    N = K.shape[-1]
+    if N <= block:
+        L = _cholesky_raw(K, leaf)
+        from .smallchol import batched_small_solve_triangular
+
+        w = batched_small_solve_triangular(L, Y, leaf)
+        logdet = 2.0 * jnp.sum(
+            jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), axis=-1)
+        return w, logdet
+
+    engine = _diag_engine(K, block, diag)
+    Kp, pad = _pad_spd(K, block)
+    if pad:
+        Y = jnp.concatenate(
+            [Y, jnp.zeros(Y.shape[:-2] + (pad, Y.shape[-1]), Y.dtype)],
+            axis=-2)
+    L, minvs = _blocked_factor(Kp, block, leaf, precision, engine)
+
+    nb = Kp.shape[-1] // block
+    ws = []
+    for k in range(nb):
+        s = k * block
+        rhs = Y[..., s:s + block, :]
+        if k:
+            W_prev = jnp.concatenate(ws, axis=-2)          # (..., s, m)
+            L_row = L[..., s:s + block, :s]                # (..., b, s)
+            rhs = rhs - jnp.matmul(L_row, W_prev, precision=precision)
+        ws.append(jnp.matmul(minvs[k], rhs, precision=precision))
+    w = jnp.concatenate(ws, axis=-2)
+    if pad:
+        w = w[..., :N, :]
+        L = L[..., :N, :N]
+    logdet = 2.0 * jnp.sum(
+        jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), axis=-1)
+    return w, logdet
+
+
+def blocked_solve_lower(L, Y, leaf=32):
+    """Solves ``L X = Y`` for lower-triangular L with batch-first blocking
+    (GEMM-recursive; the leaf substitutions vectorize across the batch).
+    For the fused factor-and-solve path use :func:`blocked_chol_solve_logdet`,
+    which reuses the factorization's diagonal-block inverses instead."""
+    from .smallchol import batched_small_solve_triangular
+
+    return batched_small_solve_triangular(L, Y, leaf)

@@ -204,3 +204,47 @@ def test_truncation_lml_grid_student():
         for i, th in enumerate(thetas):
             ref_val = float(np.asarray(ttp.log_marginal_likelihood(th)))
             np.testing.assert_allclose(surface[i, j], ref_val, rtol=1e-8)
+
+
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+
+@pytest.fixture(scope='module')
+def mesh8():
+    return Mesh(np.array(jax.devices()).reshape(len(jax.devices())),
+                axis_names=('model',))
+
+
+def test_sharded_cholesky_matches_dense(mesh8):
+    """Model-parallel blocked Cholesky over the 8-device mesh equals the
+    single-device factorization to f64 round-off (r1 verdict item 4)."""
+    from gsum_tpu.parallel.pchol import sharded_cholesky
+
+    rng = np.random.RandomState(1)
+    N = 512
+    A = rng.randn(N, N)
+    K = A @ A.T + N * np.eye(N)
+    L = np.asarray(sharded_cholesky(jnp.asarray(K), mesh8))
+    Lref = np.linalg.cholesky(K)
+    np.testing.assert_allclose(L, Lref, atol=1e-9 * np.abs(Lref).max())
+
+
+def test_sharded_mvn_lml_matches_scipy(mesh8):
+    from gsum_tpu.parallel.pchol import sharded_mvn_lml
+    import scipy.stats as st
+
+    rng = np.random.RandomState(2)
+    N, m = 256, 3
+    A = rng.randn(N, N)
+    K = A @ A.T + N * np.eye(N)
+    y = rng.randn(N, m)
+    lml = np.asarray(sharded_mvn_lml(jnp.asarray(K), jnp.asarray(y), mesh8))
+    want = np.array([st.multivariate_normal(np.zeros(N), K).logpdf(y[:, j])
+                     for j in range(m)])
+    np.testing.assert_allclose(lml, want, rtol=1e-12)
+
+    # 1-d y path
+    l1 = np.asarray(sharded_mvn_lml(jnp.asarray(K), jnp.asarray(y[:, 0]),
+                                    mesh8))
+    np.testing.assert_allclose(np.squeeze(l1), want[0], rtol=1e-12)
