@@ -1,0 +1,94 @@
+R"""Truncation errors under symmetry constraints.
+
+Reproduces the flow of the reference's ``correlated_EFT_publication.ipynb``
+cells 24-27 (arXiv:1904.10581 Fig. 5): observable coefficients that are
+known to vanish at the domain endpoints (a symmetry constraint) are drawn
+from a GP conditioned on those zeros; the truncation-error model is then
+fit with the same constraint passed as ``(dX, dy)``, so the predicted
+truncation bands pinch to zero exactly where the symmetry forces them to.
+
+Run:  python examples/symmetry_constrained_gp.py [--out dir]
+"""
+import argparse
+import os
+import sys
+
+import matplotlib
+
+matplotlib.use('Agg')
+import matplotlib.pyplot as plt
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
+
+import gsum_tpu as gm  # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--out', default='/tmp/gsum_tpu_example')
+    args = ap.parse_args()
+    os.makedirs(args.out, exist_ok=True)
+
+    ratio = 0.5
+    n_orders = 4
+    orders = np.arange(n_orders)
+    x = np.linspace(0, 1, 50)
+    X = x[:, None]
+    kernel = gm.RBF(0.25) + gm.WhiteKernel(1e-7, 'fixed')
+
+    # --- draw coefficient curves that vanish at x = 0 and x = 1 ----------
+    # (condition the sampling GP on zeros at the endpoints)
+    dX = np.array([[0.0], [1.0]])
+    dy = np.zeros(2)
+    sampler = gm.ConjugateGaussianProcess(kernel=kernel, optimizer=None)
+    sampler.fit(dX, dy)
+    cn = np.asarray(sampler.sample_y(X, n_samples=n_orders, random_state=5))
+    yn = np.asarray(gm.partials(cn, ratio=ratio))
+
+    # --- fit the truncation model WITH the symmetry constraint -----------
+    # df=inf: fixed marginal variance, as in the publication figure
+    tgp = gm.TruncationGP(kernel=kernel, ref=1, ratio=ratio, disp=0,
+                          df=np.inf, scale=1, optimizer=None)
+    tgp.fit(X[::10], yn[::10], orders=orders, dX=dX, dy=dy)
+
+    # and WITHOUT it, for contrast
+    tgp_free = gm.TruncationGP(kernel=kernel, ref=1, ratio=ratio, disp=0,
+                               df=np.inf, scale=1, optimizer=None)
+    tgp_free.fit(X[::10], yn[::10], orders=orders)
+
+    fig, axes = plt.subplots(2, 2, sharex=True, sharey=True,
+                             figsize=(6.5, 5.0))
+    colors = plt.cm.viridis(np.linspace(0, 0.85, n_orders))
+    for i, n in enumerate(orders):
+        _, std_sym = tgp.predict(X, order=int(n), return_std=True,
+                                 kind='trunc')
+        _, std_free = tgp_free.predict(X, order=int(n), return_std=True,
+                                       kind='trunc')
+        std_sym, std_free = np.asarray(std_sym), np.asarray(std_free)
+        assert std_sym[0] < 1e-6 and std_sym[-1] < 1e-6, \
+            'constrained band must vanish at the symmetry points'
+
+        for j in range(i, n_orders):
+            ax = axes.ravel()[j]
+            ax.plot(x, yn[:, i], zorder=i - 5, c=colors[i], lw=1)
+            ax.fill_between(x, yn[:, i] - 2 * std_sym, yn[:, i] + 2 * std_sym,
+                            zorder=i - 5, facecolor=colors[i], alpha=0.25)
+        ax = axes.ravel()[i]
+        ax.plot(x, yn[:, i] + 2 * std_free, c='gray', ls=':', lw=0.8)
+        ax.plot(x, yn[:, i] - 2 * std_free, c='gray', ls=':', lw=0.8)
+        ax.axhline(0, 0, 1, ls='--', lw=0.5, c='k', zorder=0)
+        ax.set_title(f'order {n}', fontsize=9)
+    fig.suptitle('Truncation bands with endpoint symmetry constraints\n'
+                 '(dotted: unconstrained bands)')
+    fig.tight_layout()
+    out = os.path.join(args.out, 'symmetry_constrained_bands.png')
+    fig.savefig(out, dpi=100)
+    print(f'saved {out}')
+    print('constrained band at x=0:', float(np.asarray(
+        tgp.predict(X, order=1, return_std=True, kind="trunc")[1][0])),
+        '(vanishes by construction)')
+
+
+if __name__ == '__main__':
+    main()

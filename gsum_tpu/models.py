@@ -1002,7 +1002,10 @@ class TruncationProcess:
         if return_cov:
             return m_pred, K_pred
         if return_std:
-            return m_pred, jnp.sqrt(jnp.diag(K_pred))
+            # conditioning on (dX, dy) pins the variance to exactly zero at
+            # the constraint points; clamp the roundoff-negative diagonal
+            # (observed ~-1e-18 on TPU emulated-f64 GEMMs) before the sqrt
+            return m_pred, jnp.sqrt(jnp.clip(jnp.diag(K_pred), 0.0))
         return m_pred
 
     def log_marginal_likelihood(self, theta, eval_gradient=False, X=None, y=None,

@@ -27,7 +27,15 @@ from ..optimize import (fixed_lbfgs_bounded,
                         fixed_lbfgs_bounded_batched, jit_lbfgs_bounded)
 
 __all__ = ['batched_fit', 'batched_predict', 'batched_lml_grid',
-           'truncation_lml_grid', 'make_lml_fn', 'BatchedPosterior']
+           'truncation_lml_grid', 'pointwise_evidence_grid', 'make_lml_fn',
+           'BatchedPosterior']
+
+_np_log_2pi = float(np.log(2 * np.pi))
+
+
+def _sc_gammaln(x):
+    from scipy.special import gammaln
+    return gammaln(x)
 
 
 def make_lml_fn(kernel, center=0, disp=0, df=1, scale=1, nugget=1e-10,
@@ -434,6 +442,91 @@ def truncation_lml_grid(kernel, X, y, orders, ratios, thetas, ref=1,
         cached = jax.jit(fn)
         _GRID_FN_CACHE[key] = cached
     return cached(thetas, ratios, X, y, ref_vec)
+
+
+def pointwise_evidence_grid(y, orders, ratios, ref=1, df=1, scale=1,
+                            excluded=None, mesh=None):
+    R"""TruncationPointwise evidence over a batch of expansion parameters.
+
+    The reference computes Lambda_b posteriors with a Python loop of
+    ``TruncationPointwise.log_likelihood`` calls — one per Lambda_b value,
+    1500 of them per observable in truncation_recap.ipynb cells 38-40
+    (reference models.py:1755-1797).  Here the whole sweep is one jitted
+    device program vectorized over the ratio batch: coefficient extraction,
+    the conjugate (nu, tau) update, and the change-of-variables determinant
+    are all batch-leading tensor ops.
+
+    Parameters
+    ----------
+    y : (N, n_orders) partial sums
+    orders : (n_orders,) int array
+    ratios : (R, N) or (R,) expansion-parameter values, one row per sweep
+        point (e.g. ``Q(E, Lambda_b_r)``)
+    ref : scalar or (N,) reference scale
+    df, scale : scaled-inverse-chi^2 prior (nu0, tau0); ``df=0`` is the
+        scale-invariant prior, dropping its infinite normalization exactly
+        as the reference does
+    excluded : orders excluded from the coefficient model
+    mesh : jax.sharding.Mesh, optional — shard the R axis over 'batch'
+
+    Returns
+    -------
+    (R,) array: log p(y | ratio_r), matching
+    ``TruncationPointwise(df, scale, excluded).fit(y, ...).log_likelihood``
+    """
+    from jax.scipy.special import gammaln
+
+    y = jnp.asarray(y)
+    if y.ndim == 1:
+        y = y[:, None]
+    N = y.shape[0]
+    orders = np.asarray(orders)
+    mask = ~np.isin(orders, excluded)
+    orders_in = orders[mask]
+    m = int(mask.sum())
+
+    ratios = jnp.asarray(ratios, dtype=y.dtype)
+    if ratios.ndim == 1:
+        ratios = jnp.broadcast_to(ratios[:, None], (ratios.shape[0], N))
+    ref_vec = jnp.broadcast_to(jnp.asarray(ref, dtype=y.dtype), (N,))
+
+    df0, scale0 = float(df), float(scale)
+    mask_j = jnp.asarray(np.nonzero(mask)[0])
+    orders_j = jnp.asarray(orders, dtype=y.dtype)
+
+    def fn(rats, ya, refv):
+        # coefficient extraction for every ratio (reference helpers.py:71-101)
+        diffs = jnp.concatenate([ya[:, :1], jnp.diff(ya, axis=-1)], axis=-1)
+        denom = refv[None, :, None] * rats[:, :, None] ** orders_j[None, None, :]
+        coeffs = (diffs[None] / denom)[:, :, mask_j]              # (R, N, m)
+
+        # conjugate scaled-inv-chi^2 update (reference models.py:1623-1631)
+        df_post = df0 + m
+        scale_sq = (df0 * scale0 ** 2
+                    + jnp.sum(coeffs * coeffs, axis=-1)) / df_post  # (R, N)
+
+        ll = gammaln(df_post / 2.) - 0.5 * m * _np_log_2pi
+        if df0 > 0:  # scale-invariant prior df0=0 drops its normalization
+            ll += 0.5 * df0 * float(np.log(df0 * scale0 ** 2 / 2.)) \
+                - float(_sc_gammaln(df0 / 2.))
+        ll = ll - 0.5 * jnp.sum(df_post * jnp.log(df_post * scale_sq / 2.),
+                                axis=-1)                           # (R,)
+
+        # change-of-variables determinant y -> c (reference models.py:1780-1784)
+        det = (jnp.sum(jnp.log(jnp.abs(refv)))
+               + float(np.sum(orders_in))
+               * jnp.sum(jnp.log(rats), axis=-1))                  # (R,)
+        return ll - det
+
+    key = ('pw_evidence', df0, scale0, mask.tobytes(), orders.tobytes(),
+           int(N), int(y.shape[1]))
+    cached = _GRID_FN_CACHE.get(key)
+    if cached is None:
+        cached = jax.jit(fn)
+        _GRID_FN_CACHE[key] = cached
+    if mesh is not None:
+        ratios = jax.device_put(ratios, NamedSharding(mesh, P('batch')))
+    return cached(ratios, y, ref_vec)
 
 
 def batched_predict(kernel, post, X, y_batch, Xnew, mesh=None, basis=None):

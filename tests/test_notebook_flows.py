@@ -142,6 +142,131 @@ def test_diagnostics_flow(scattering):
     np.testing.assert_allclose(ci_o, ci_r, atol=1e-10)
 
 
+def test_lambda_b_posterior_flow(scattering):
+    """truncation_recap.ipynb cells 37-42: the Lambda_b evidence sweep.
+
+    The reference loops TruncationPointwise.log_likelihood over the
+    Lambda_b grid; gsum_tpu evaluates the whole sweep as one jitted device
+    program (parallel.pointwise_evidence_grid).  Both must agree."""
+    from gsum_tpu.parallel import pointwise_evidence_grid
+
+    X, y, orders, Q, ref_scale = scattering
+    excluded = [0]
+    lambdas = np.array([0.7, 0.9, 1.0, 1.2, 1.5])
+    ratios = np.stack([Q / lam for lam in lambdas])
+
+    # scale-invariant prior nu0=0, as in the notebook's Lb_model
+    log_ev = np.asarray(pointwise_evidence_grid(
+        y, orders, ratios, ref=ref_scale, df=0, scale=1, excluded=excluded))
+
+    t_r = gref.TruncationPointwise(df=0, excluded=excluded)
+    t_r.fit(y, ratio=Q, ref=ref_scale, orders=orders)
+    want = np.array([t_r.log_likelihood(ratio=r) for r in ratios])
+    np.testing.assert_allclose(log_ev, want, rtol=1e-9)
+
+    # and the sweep matches our own per-call class path
+    t_o = gm.TruncationPointwise(df=0, excluded=excluded)
+    t_o.fit(y, ratio=Q, ref=ref_scale, orders=orders)
+    ours = np.array([float(np.asarray(t_o.log_likelihood(ratio=r)))
+                     for r in ratios])
+    np.testing.assert_allclose(log_ev, ours, rtol=1e-10)
+
+
+def test_lambda_b_posterior_flow_nonzero_df(scattering):
+    """Informative-prior variant (df0 > 0 keeps its normalization terms)."""
+    from gsum_tpu.parallel import pointwise_evidence_grid
+
+    X, y, orders, Q, ref_scale = scattering
+    ratios = np.stack([Q / lam for lam in [0.8, 1.1]])
+    log_ev = np.asarray(pointwise_evidence_grid(
+        y, orders, ratios, ref=ref_scale, df=3, scale=1.2))
+    t_r = gref.TruncationPointwise(df=3, scale=1.2)
+    t_r.fit(y, ratio=Q, ref=ref_scale, orders=orders)
+    want = np.array([t_r.log_likelihood(ratio=r) for r in ratios])
+    np.testing.assert_allclose(log_ev, want, rtol=1e-9)
+
+
+def test_symmetry_constrained_flow():
+    """correlated_EFT_publication.ipynb cells 24-27: truncation bands under
+    endpoint symmetry constraints (dX, dy), df=inf fixed-variance model."""
+    ratio = 0.5
+    orders = np.arange(4)
+    x = np.linspace(0, 1, 50)
+    X = x[:, None]
+    dX = np.array([[0.0], [1.0]])
+    dy = np.zeros(2)
+
+    # constrained coefficient curves from OUR sampler (deterministic)
+    sampler = gm.ConjugateGaussianProcess(
+        kernel=gm.RBF(0.25) + gm.WhiteKernel(1e-7, 'fixed'), optimizer=None)
+    sampler.fit(dX, dy)
+    cn = np.asarray(sampler.sample_y(X, n_samples=4, random_state=5))
+    yn = np.asarray(gm.partials(cn, ratio=ratio))
+
+    def make(mod, kmod):
+        kernel = kmod.RBF(0.25) + kmod.WhiteKernel(1e-7, 'fixed')
+        return mod.TruncationGP(kernel=kernel, ref=1, ratio=ratio, disp=0,
+                                df=np.inf, scale=1, optimizer=None)
+
+    t_o = make(gm, gm).fit(X[::10], yn[::10], orders=orders, dX=dX, dy=dy)
+    t_r = make(gref, sk).fit(X[::10], yn[::10], orders=orders, dX=dX, dy=dy)
+
+    for order in [0, 2]:
+        m_o, s_o = t_o.predict(X, order=order, return_std=True, kind='trunc')
+        m_r, s_r = t_r.predict(X, order=order, return_std=True, kind='trunc')
+        np.testing.assert_allclose(np.asarray(m_o), m_r, rtol=1e-8,
+                                   atol=1e-10)
+        np.testing.assert_allclose(np.asarray(s_o), s_r, rtol=1e-6,
+                                   atol=1e-10)
+        # the constraint pins the band to zero at the symmetry points
+        s = np.asarray(s_o)
+        assert s[0] < 1e-7 and s[-1] < 1e-7
+
+
+def test_model_checking_flow():
+    """diagnostic_explorations.ipynb: MD^2 reference distributions and
+    misspecification detection via whitened-error decompositions."""
+    n, df, n_samples = 20, 6, 3000
+    X = np.linspace(0, 1, n)[:, None]
+    mean = np.zeros(n)
+    cov = np.asarray((gm.RBF(0.05) + gm.WhiteKernel(1e-6, 'fixed'))(X))
+
+    # GP samples: MD^2 ~ chi^2(n) (mean n, var 2n)
+    d_gp = gm.Diagnostic(mean, cov)
+    md_gp = np.asarray(d_gp.md_squared(np.asarray(d_gp.samples(n_samples))))
+    assert abs(md_gp.mean() - n) < 5 * np.sqrt(2 * n / n_samples)
+
+    # TP samples: MD^2 ~ F(n, df) scaled so the mean is n * df/(df-2)
+    d_tp = gm.Diagnostic(mean, cov, df=df)
+    md_tp = np.asarray(d_tp.md_squared(np.asarray(d_tp.samples(n_samples))))
+    want_mean = float(np.asarray(
+        gm.stats.f(n, df, scale=(df - 2) * n / df).mean()))
+    assert abs(md_tp.mean() - want_mean) / want_mean < 0.15
+    # the scaled-F reference has mean n but fatter tails than chi^2(n)
+    f_std = float(np.asarray(gm.stats.f(n, df, scale=(df - 2) * n / df).std()))
+    assert f_std > np.sqrt(2 * n)
+    assert md_tp.var() > 1.5 * md_gp.var()
+
+    # misspecified length scale blows the whitened errors out of +-2
+    ls, noise = 0.8, 1e-5
+    X_dec = np.linspace(0, 3, 151)[:, None]
+    mask = np.arange(151) % 12 == 0
+    gp_kwargs = dict(center=0, disp=0, df=np.inf, scale=1, optimizer=None)
+    model_kernel = gm.RBF(ls, 'fixed') + gm.WhiteKernel(noise, 'fixed')
+    gp = gm.ConjugateGaussianProcess(model_kernel, **gp_kwargs)
+    cov_d = np.asarray(gp.cov(X_dec[mask]))
+
+    def frac_outside(ls_true):
+        true_kernel = gm.RBF(ls_true, 'fixed') + gm.WhiteKernel(noise, 'fixed')
+        sampler = gm.ConjugateGaussianProcess(true_kernel, **gp_kwargs)
+        data = np.asarray(sampler.sample_y(X_dec, 6, random_state=3))[mask]
+        d = gm.Diagnostic(np.zeros(mask.sum()), cov_d)
+        return float(np.mean(np.abs(np.asarray(d.cholesky_errors(data))) > 2))
+
+    assert frac_outside(ls) < 0.15          # correct model: ~5%
+    assert frac_outside(0.4 * ls) > 0.4     # wrong model: blows up
+
+
 def test_student_t_flow(scattering):
     """The publication's Student-t variant: CSP evidence and intervals."""
     X, y, orders, Q, ref_scale = scattering
