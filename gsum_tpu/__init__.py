@@ -51,6 +51,8 @@ from .datasets import make_gaussian_partial_sums
 from .datasets import make_gaussian_partial_sums_on_grid
 from .datasets import make_gaussian_partial_sums_uniform
 
+from .pdfmeta import add_pdf_metadata, get_pdf_metadata
+
 from . import stats
 from . import linalg
 from . import checkpoint

@@ -1,0 +1,75 @@
+"""PDF figure-metadata stamping (reference docs/notebooks/pdf_metadata.py)."""
+import os
+
+import matplotlib
+
+matplotlib.use('Agg')
+import matplotlib.pyplot as plt
+import numpy as np
+import pytest
+
+from gsum_tpu.pdfmeta import (add_pdf_metadata, get_pdf_metadata,
+                              save_figure_with_metadata)
+
+
+@pytest.fixture
+def figure_pdf(tmp_path):
+    fig, ax = plt.subplots(figsize=(2, 2))
+    ax.plot([0, 1], [0, 1])
+    path = str(tmp_path / 'fig.pdf')
+    fig.savefig(path)
+    plt.close(fig)
+    return path
+
+
+def test_add_and_get_roundtrip(figure_pdf):
+    meta = {'orders': '0 2 3 4 5', 'Lambda_b': '600',
+            'script': 'examples/lambda_b_posterior.py'}
+    add_pdf_metadata(figure_pdf, meta)
+    got = get_pdf_metadata(figure_pdf)
+    for k, v in meta.items():
+        assert got[k] == v
+    # standard keys excluded by default, present with exclude=False
+    full = get_pdf_metadata(figure_pdf, exclude=False)
+    assert 'Producer' in full or 'Creator' in full
+
+
+def test_update_preserves_and_overrides(figure_pdf):
+    add_pdf_metadata(figure_pdf, {'a': '1', 'b': '2'})
+    add_pdf_metadata(figure_pdf, {'b': '3', 'c': '4'})
+    got = get_pdf_metadata(figure_pdf)
+    assert got['a'] == '1' and got['b'] == '3' and got['c'] == '4'
+
+
+def test_incremental_update_keeps_pdf_loadable(figure_pdf):
+    """The stamped file must still be a readable PDF (matplotlib can
+    rasterize it via pdftoppm if available; at minimum the structure
+    markers survive and the original bytes are untouched)."""
+    with open(figure_pdf, 'rb') as fh:
+        original = fh.read()
+    add_pdf_metadata(figure_pdf, {'key': 'value with (parens) and \\ slash'})
+    with open(figure_pdf, 'rb') as fh:
+        updated = fh.read()
+    assert updated.startswith(original.rstrip(b'\n'))  # incremental update
+    assert updated.count(b'%%EOF') >= 2
+    assert get_pdf_metadata(figure_pdf)['key'] == \
+        'value with (parens) and \\ slash'
+
+
+def test_save_figure_with_metadata(tmp_path):
+    fig, ax = plt.subplots(figsize=(2, 2))
+    ax.plot(np.arange(3))
+    path = str(tmp_path / 'fig2.pdf')
+    save_figure_with_metadata(fig, path, {'Title': 'bands',
+                                          'ratio': '0.5', 'seed': '7'})
+    plt.close(fig)
+    got = get_pdf_metadata(path)
+    assert got['ratio'] == '0.5' and got['seed'] == '7'
+    assert get_pdf_metadata(path, exclude=False).get('Title') == 'bands'
+
+
+def test_invalid_key_rejected(figure_pdf):
+    with pytest.raises(ValueError):
+        add_pdf_metadata(figure_pdf, {'bad key': 'x'})
+    with pytest.raises(TypeError):
+        add_pdf_metadata(figure_pdf, ['not', 'a', 'dict'])
