@@ -49,13 +49,22 @@ def main():
     kernel = RBF(0.5)
     m = 5  # EFT-order curves
 
-    for G, N in [(1024, 128), (1024, 256), (256, 512)]:
-        X = jnp.asarray(rng.rand(N, 1), dtype=jnp.float64)
-        y = jnp.asarray(rng.randn(N, m), dtype=jnp.float64)
-        basis = jnp.ones((N, 1), dtype=jnp.float64)
-        thetas = jnp.asarray(np.log(np.linspace(0.2, 1.5, G))[:, None])
+    import itertools
+
+    # the vmapped comparator runs at a smaller G with fewer dependent
+    # iterations: the tunneled worker kills single executions that run
+    # too long, and the vmapped path is exactly the slow one under test.
+    # (G=256 at N=512 f64 OOM-kills the remote compile helper; G=128.)
+    sizes = [(1024, 128, 128), (1024, 256, 128), (128, 512, 32)]
+    for dt, (G, N, Gv) in itertools.product(['f64', 'f32'], sizes):
+        jdt = jnp.float64 if dt == 'f64' else jnp.float32
+        X = jnp.asarray(rng.rand(N, 1), dtype=jdt)
+        y = jnp.asarray(rng.randn(N, m), dtype=jdt)
+        basis = jnp.ones((N, 1), dtype=jdt)
+        thetas = jnp.asarray(np.log(np.linspace(0.2, 1.5, G))[:, None],
+                             dtype=jdt)
         frozen = kernel.clone()
-        nugget = 1e-8
+        nugget = 1e-8 if dt == 'f64' else 1e-5
 
         # ---- explicit-batch engine (ops.gridlml) -----------------------
         def grid_step(c, ths, Xc, yc, bc):
@@ -67,27 +76,34 @@ def main():
                                3.0, 1.0)
             return c + 1e-9 * jnp.sum(out) * jnp.ones_like(c)
 
-        c0 = jnp.zeros((1, 1), dtype=jnp.float64)
-        gf, dt = timed_loop(grid_step, c0, G * flops_per_eval(N, m),
-                            iters=4, consts=(thetas, X, y, basis))
-        results['gridlml_batched_G%d_N%d_us_per_eval' % (G, N)] = \
-            round(dt / G * 1e6, 2)
-        results['gridlml_batched_G%d_N%d_gflops' % (G, N)] = round(gf, 1)
+        c0 = jnp.zeros((1, 1), dtype=jdt)
+        gf, dtm = timed_loop(grid_step, c0, G * flops_per_eval(N, m),
+                             iters=4, consts=(thetas, X, y, basis))
+        us_batched = dtm / G * 1e6
+        results['gridlml_batched_%s_G%d_N%d_us_per_eval' % (dt, G, N)] = \
+            round(us_batched, 2)
+        results['gridlml_batched_%s_G%d_N%d_gflops' % (dt, G, N)] = \
+            round(gf, 1)
+        print(json.dumps(results), flush=True)  # survive worker crashes
 
         # ---- vmapped scalar path (XLA batched Cholesky) ----------------
         lml = make_lml_fn(kernel, center=0, disp=0, df=3, scale=1,
                           nugget=nugget)
+        thetas_v = thetas[:Gv]
 
         def vmap_step(c, ths, Xc, yc, bc):
             out = jax.vmap(lambda th: lml(th, Xc, yc, bc))(
                 ths + 1e-12 * jnp.sum(c))
             return c + 1e-9 * jnp.sum(out) * jnp.ones_like(c)
 
-        gf2, dt2 = timed_loop(vmap_step, c0, G * flops_per_eval(N, m),
-                              iters=4, consts=(thetas, X, y, basis))
-        results['gridlml_vmap_G%d_N%d_us_per_eval' % (G, N)] = \
-            round(dt2 / G * 1e6, 2)
-        results['gridlml_speedup_G%d_N%d' % (G, N)] = round(dt2 / dt, 1)
+        gf2, dt2 = timed_loop(vmap_step, c0, Gv * flops_per_eval(N, m),
+                              iters=2, consts=(thetas_v, X, y, basis))
+        us_vmap = dt2 / Gv * 1e6
+        results['gridlml_vmap_%s_G%d_N%d_us_per_eval' % (dt, Gv, N)] = \
+            round(us_vmap, 2)
+        results['gridlml_speedup_%s_N%d' % (dt, N)] = \
+            round(us_vmap / us_batched, 1)
+        print(json.dumps(results), flush=True)
 
     print(json.dumps(results, indent=1))
 

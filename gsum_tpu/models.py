@@ -174,6 +174,15 @@ class BaseConjugateProcess:
         return _conj.compute_scale_sq(y, sqrt_R, basis, center0, disp0, df0,
                                       scale0, decomposition=decomposition)
 
+    @classmethod
+    def compute_scale_sq_v2(cls, y, sqrt_R, basis, center0, disp0, df0,
+                            scale0, decomposition='cholesky'):
+        """Direct (non-Woodbury) form of the scale update — kept as a
+        numerical cross-check, as in the reference (models.py:309-384)."""
+        return _conj.compute_scale_sq_v2(y, sqrt_R, basis, center0, disp0,
+                                         df0, scale0,
+                                         decomposition=decomposition)
+
     @staticmethod
     def solve_sqrt(sqrt_mat, y, decomposition):
         return solve_sqrt(sqrt_mat, y, decomposition)
