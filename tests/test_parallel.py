@@ -248,3 +248,31 @@ def test_sharded_mvn_lml_matches_scipy(mesh8):
     l1 = np.asarray(sharded_mvn_lml(jnp.asarray(K), jnp.asarray(y[:, 0]),
                                     mesh8))
     np.testing.assert_allclose(np.squeeze(l1), want[0], rtol=1e-12)
+
+
+def test_pointwise_evidence_grid_sharded():
+    """Lambda_b evidence sweep sharded over the 'batch' axis matches the
+    unsharded sweep and the per-call class path."""
+    from gsum_tpu.parallel import pointwise_evidence_grid
+
+    rng = np.random.RandomState(3)
+    N, k = 12, 5
+    orders = np.arange(k)
+    Q = 0.3 + 0.1 * rng.rand(N)
+    coeffs = rng.randn(N, k)
+    yd = np.asarray(gm.partials(coeffs, ratio=Q, ref=2.0, orders=orders))
+
+    ratios = np.stack([Q / lam for lam in np.linspace(0.7, 1.4, 16)])
+    mesh = make_mesh(n_batch=len(jax.devices()), n_model=1)
+    ev_sharded = np.asarray(pointwise_evidence_grid(
+        yd, orders, ratios, ref=2.0, df=3, scale=1.0,
+        mesh=Mesh(mesh.devices.reshape(-1), axis_names=('batch',))))
+    ev_plain = np.asarray(pointwise_evidence_grid(
+        yd, orders, ratios, ref=2.0, df=3, scale=1.0))
+    np.testing.assert_allclose(ev_sharded, ev_plain, rtol=1e-12)
+
+    tp = gm.TruncationPointwise(df=3, scale=1.0).fit(yd, ratio=Q, ref=2.0,
+                                                     orders=orders)
+    want = np.array([float(np.asarray(tp.log_likelihood(ratio=r)))
+                     for r in ratios])
+    np.testing.assert_allclose(ev_sharded, want, rtol=1e-10)
