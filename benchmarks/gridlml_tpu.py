@@ -77,7 +77,10 @@ def main():
             Rs = jax.lax.optimization_barrier(Rs)
             out = cgp_lml_grid(Rs, yc, bc, np.zeros(1), np.zeros((1, 1)),
                                3.0, 1.0)
-            return c + 1e-9 * jnp.sum(out) * jnp.ones_like(c)
+            # failed f32 factorizations yield -inf by design; keep the
+            # timing carry finite without eliding the factorization work
+            out = jnp.where(jnp.isfinite(out), out, 0.0)
+            return c + (1e-9 * jnp.sum(out)).astype(c.dtype) * jnp.ones_like(c)
 
         c0 = jnp.zeros((1, 1), dtype=jdt)
         gf, dtm = timed_loop(grid_step, c0, G * flops_per_eval(N, m),
@@ -97,7 +100,8 @@ def main():
         def vmap_step(c, ths, Xc, yc, bc):
             out = jax.vmap(lambda th: lml(th, Xc, yc, bc))(
                 ths + 1e-12 * jnp.sum(c))
-            return c + 1e-9 * jnp.sum(out) * jnp.ones_like(c)
+            out = jnp.where(jnp.isfinite(out), out, 0.0)
+            return c + (1e-9 * jnp.sum(out)).astype(c.dtype) * jnp.ones_like(c)
 
         gf2, dt2 = timed_loop(vmap_step, c0, Gv * flops_per_eval(N, m),
                               iters=2, consts=(thetas_v, X, y, basis))

@@ -43,9 +43,10 @@ def main():
 
     rng = np.random.RandomState(0)
     results = {}
+    small = bool(os.environ.get('GSUM_SCALE_SMALL'))  # CPU smoke mode
 
     # ---- 1. 10k-observable batched MAP fit at N=256 ---------------------
-    B, N = 10240, 256
+    B, N = (64, 32) if small else (10240, 256)
     X = np.linspace(0.0, 1.0, N)[:, None]
     # independent noisy curves around order-like means
     y_batch = (np.sin(3.0 * X.T + rng.rand(B, 1) * 6.28)
@@ -53,8 +54,10 @@ def main():
     kernel = RBF(0.5, (1e-2, 1e2))
 
     t0 = time.time()
+    # chunk=128: the wide objective's forward+adjoint HLO at chunk=256
+    # OOM-kills the remote compile helper at N=256
     post = batched_fit(kernel, X, y_batch, df=3, scale=1, maxiter=12,
-                       chunk=256)
+                       chunk=128)
     lml = np.asarray(post.lml)  # host fetch = sync
     dt = time.time() - t0
     assert np.isfinite(lml).all()
@@ -62,16 +65,17 @@ def main():
     results['batched_fit_B10240_N256_fits_per_s'] = round(B / dt, 1)
 
     # ---- 2. 10k-point hyperparameter-grid sweep at N=512, 2D kernel -----
-    G, N2 = 10240, 512
+    G, N2 = (128, 64) if small else (10240, 512)
     X2 = rng.rand(N2, 2)
     y2 = np.sin(4 * X2[:, 0]) * np.cos(3 * X2[:, 1]) + 0.05 * rng.randn(N2)
     thetas = np.log(np.linspace(0.1, 2.0, G))[:, None]
     t0 = time.time()
     # chunk the grid: G * N2^2 f64 would be 21 GB materialized at once
     outs = []
-    for i in range(0, G, 1024):
+    step = 64 if small else 1024
+    for i in range(0, G, step):
         outs.append(np.asarray(batched_lml_grid(
-            RBF(0.5), X2, y2, thetas[i:i + 1024], df=3, scale=1,
+            RBF(0.5), X2, y2, thetas[i:i + step], df=3, scale=1,
             nugget=1e-8)))
     lml_grid = np.concatenate(outs)
     dt = time.time() - t0
@@ -80,7 +84,7 @@ def main():
     results['grid_lml_G10240_N512_2d_us_per_eval'] = round(dt / G * 1e6, 1)
 
     # ---- 3. batched MAP fit at N=4096 ------------------------------------
-    B3, N3 = 8, 4096
+    B3, N3 = (2, 128) if small else (8, 4096)
     X3 = np.linspace(0.0, 1.0, N3)[:, None]
     y3 = (np.sin(3.0 * X3.T + rng.rand(B3, 1) * 6.28)
           + 0.1 * rng.randn(B3, N3)).astype(np.float64)
@@ -93,7 +97,7 @@ def main():
     results['batched_fit_B8_N4096_s'] = round(dt, 1)
 
     # ---- 4. N=16k single-chip cov + blocked Cholesky + lml --------------
-    N4 = 16384
+    N4 = 256 if small else 16384
     X4 = jnp.asarray(rng.rand(N4, 2), dtype=jnp.float32)
     y4 = jnp.asarray(rng.randn(N4, 1), dtype=jnp.float32)
 

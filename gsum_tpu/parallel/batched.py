@@ -288,6 +288,16 @@ def _batched_fit_wide(frozen, X, y_batch, basis, starts, lower, upper,
     Rstarts = starts.shape[0]
     dtype = X.dtype
 
+    # engine selection: the explicitly-batched evaluator's unrolled
+    # recursion is the win below N<=512 (XLA's batched small-N Cholesky is
+    # latency-bound ~20x slower there) but its HLO grows with N until the
+    # compile service is OOM-killed; above that, XLA's native batched
+    # Cholesky is near its large-N rate, so the vmapped scalar lml wins.
+    use_grid_engine = N <= 512
+    if not use_grid_engine:
+        scalar_lml = ConjugateGaussianProcess._make_lml_fn(
+            frozen.value_fn, nugget, 'cholesky', c0, V0, df0, scale0)
+
     def run_chunk(Ys, T0):
         def fun_b(Thetas):
             # the lockstep linesearch widens the leading axis to
@@ -295,6 +305,10 @@ def _batched_fit_wide(frozen, X, y_batch, basis, starts, lower, upper,
             # data tiles to match
             reps = Thetas.shape[0] // Ys.shape[0]
             Ys_full = jnp.tile(Ys, (reps, 1, 1)) if reps > 1 else Ys
+            if not use_grid_engine:
+                return -jax.vmap(
+                    lambda th, y2: scalar_lml(th.astype(dtype), X, y2,
+                                              basis))(Thetas, Ys_full)
             Rs = jax.vmap(lambda th: frozen.value_fn(th.astype(dtype), X,
                                                      None))(Thetas)
             Rs = Rs + nugget * jnp.eye(N, dtype=Rs.dtype)

@@ -276,3 +276,33 @@ def test_pointwise_evidence_grid_sharded():
     want = np.array([float(np.asarray(tp.log_likelihood(ratio=r)))
                      for r in ratios])
     np.testing.assert_allclose(ev_sharded, want, rtol=1e-10)
+
+
+def test_batched_fit_large_n_engine():
+    """N > 512 routes the wide objective through the vmapped scalar lml
+    (the grid engine's unrolled HLO OOM-kills compilation at large N);
+    results must match per-model MAP fits."""
+    rng = np.random.RandomState(5)
+    B, N = 2, 520
+    Xl = np.linspace(0.0, 1.0, N)[:, None]
+    y_batch = np.sin(3 * Xl.T) + 0.1 * rng.randn(B, N)
+    kernel = gm.RBF(0.5, (1e-2, 1e2))
+
+    post = batched_fit(kernel, Xl, y_batch, df=3, scale=1.0, maxiter=40,
+                       nugget=1e-8)
+    assert np.asarray(post.theta).shape == (B, 1)
+    for i in range(B):
+        gp = gm.ConjugateGaussianProcess(kernel=kernel, df=3, scale=1.0,
+                                         nugget=1e-8)
+        gp.fit(Xl, y_batch[i])
+        # the landscape is multi-modal at this N and the two optimizers may
+        # settle in different basins; require a genuine optimum of
+        # comparable quality (within 1 nat of scipy's single-start MAP)...
+        assert float(np.asarray(post.lml[i])) > \
+            float(gp.log_marginal_likelihood_value_) - 1.0
+        # ...whose reported lml is self-consistent with the model's own
+        # likelihood at the reported theta (the engine under test)
+        check = float(np.asarray(gp.log_marginal_likelihood(
+            np.asarray(post.theta)[i])))
+        np.testing.assert_allclose(float(np.asarray(post.lml[i])), check,
+                                   rtol=1e-8)
