@@ -128,14 +128,17 @@ def _get_grid_fn(kernel, center, disp, df, scale, nugget, small):
 
 
 def batched_lml_grid(kernel, X, y, thetas, center=0, disp=0, df=1, scale=1,
-                     nugget=1e-10, mesh=None, basis=None):
+                     nugget=1e-10, mesh=None, basis=None, engine='auto'):
     R"""Log-marginal likelihood over a grid of kernel hyperparameters.
 
-    For N <= 512 this runs the explicitly-batched evaluator
+    For N <= 256 this runs the explicitly-batched evaluator
     (``ops.gridlml.cgp_lml_grid``): only the covariance build is vmapped;
     factorization, solves, and conjugate updates are batch-leading tensor
-    ops (XLA's native batched Cholesky/TRSM are ~70x below peak in that
-    regime).  Larger N falls back to the vmapped scalar lml.
+    ops (XLA's native batched Cholesky/TRSM are latency-bound far below
+    peak in that regime — 150-180x at f32, docs/perf.md).  Larger N falls
+    back to the vmapped scalar lml: the batched engine's unrolled HLO
+    OOM-kills the remote compile service at N=512 on this toolchain.
+    ``engine`` ('auto' | 'grid' | 'scalar') overrides the choice.
 
     Parameters
     ----------
@@ -158,7 +161,10 @@ def batched_lml_grid(kernel, X, y, thetas, center=0, disp=0, df=1, scale=1,
     thetas = jnp.asarray(thetas)
     N = X.shape[0]
 
-    fn = _get_grid_fn(kernel, center, disp, df, scale, nugget, small=N <= 512)
+    if engine not in ('auto', 'grid', 'scalar'):
+        raise ValueError("engine must be 'auto', 'grid', or 'scalar'")
+    small = N <= 256 if engine == 'auto' else engine == 'grid'
+    fn = _get_grid_fn(kernel, center, disp, df, scale, nugget, small=small)
     if mesh is not None:
         thetas = jax.device_put(thetas, NamedSharding(mesh, P('batch')))
     return fn(thetas, X, y2, basis)
@@ -199,7 +205,8 @@ def _fit_one(lml_fn, value_fn, theta0, lower, upper, X, y2, basis,
 
 def batched_fit(kernel, X, y_batch, center=0, disp=0, df=1, scale=1,
                 nugget=1e-10, maxiter=100, theta0=None, mesh=None,
-                n_restarts=0, seed=0, chunk=128, basis=None):
+                n_restarts=0, seed=0, chunk=128, basis=None, engine='auto',
+                ls_steps=10):
     R"""MAP-fit a ConjugateGaussianProcess independently to each batch element.
 
     Replaces Python loops of ``gp.fit`` (e.g. the KL diagnostic's 1000
@@ -220,6 +227,16 @@ def batched_fit(kernel, X, y_batch, center=0, disp=0, df=1, scale=1,
     chunk : int or None — evaluate at most this many fits per device call
         (the tunneled TPU runtime here kills executions that run too long;
         chunking also bounds memory).  One compile serves all chunks.
+    engine : 'auto' | 'grid' | 'scalar' — lml engine for the wide lockstep
+        objective.  'grid' is the explicitly-batched evaluator (fastest
+        below N~256 but its unrolled forward+adjoint HLO grows with N until
+        compilation becomes impractical); 'scalar' is the vmapped scalar
+        lml (XLA batched Cholesky — compile-light, near-peak at large N).
+        'auto' picks 'grid' for N <= 192 and 'scalar' above.
+    ls_steps : int — linesearch trial points per L-BFGS iteration.  Every
+        trial's covariance build + factorization is live simultaneously
+        (ls_steps x chunk matrices), so lower this together with ``chunk``
+        at very large N to fit HBM (e.g. chunk=1, ls_steps=5 at N=4096).
     basis : None | callable | (N, q) array — mean basis shared by every fit
         (None = constant ones, the reference default); ``center``/``disp``
         must match its column count
@@ -276,11 +293,13 @@ def batched_fit(kernel, X, y_batch, center=0, disp=0, df=1, scale=1,
     # batched grid-lml evaluator, which is ~100x the vmapped scalar path at
     # these matrix sizes.
     return _batched_fit_wide(frozen, X, y_batch, basis, starts, lower, upper,
-                             c0, V0, df, scale, nugget, maxiter, chunk)
+                             c0, V0, df, scale, nugget, maxiter, chunk,
+                             engine, ls_steps)
 
 
 def _batched_fit_wide(frozen, X, y_batch, basis, starts, lower, upper,
-                      c0, V0, df0, scale0, nugget, maxiter, chunk):
+                      c0, V0, df0, scale0, nugget, maxiter, chunk,
+                      engine='auto', ls_steps=10):
     from ..ops.gridlml import cgp_lml_grid
     from .. import conjugate as _conj2
 
@@ -289,11 +308,14 @@ def _batched_fit_wide(frozen, X, y_batch, basis, starts, lower, upper,
     dtype = X.dtype
 
     # engine selection: the explicitly-batched evaluator's unrolled
-    # recursion is the win below N<=512 (XLA's batched small-N Cholesky is
-    # latency-bound ~20x slower there) but its HLO grows with N until the
-    # compile service is OOM-killed; above that, XLA's native batched
-    # Cholesky is near its large-N rate, so the vmapped scalar lml wins.
-    use_grid_engine = N <= 512
+    # recursion is the win at small N (XLA's batched small-N Cholesky is
+    # latency-bound ~20x slower there) but its forward+adjoint HLO under
+    # the L-BFGS scan grows with N until the remote compile service grinds
+    # or is OOM-killed (observed at N=256); the vmapped scalar lml is
+    # compile-light and near XLA's large-N Cholesky rate.
+    if engine not in ('auto', 'grid', 'scalar'):
+        raise ValueError("engine must be 'auto', 'grid', or 'scalar'")
+    use_grid_engine = N <= 192 if engine == 'auto' else engine == 'grid'
     if not use_grid_engine:
         scalar_lml = ConjugateGaussianProcess._make_lml_fn(
             frozen.value_fn, nugget, 'cholesky', c0, V0, df0, scale0)
@@ -316,7 +338,8 @@ def _batched_fit_wide(frozen, X, y_batch, basis, starts, lower, upper,
             return -cgp_lml_grid(Rs, Ys_full, basis, c0, V0, df0, scale0)
 
         topt, fmin = fixed_lbfgs_bounded_batched(fun_b, T0, lower, upper,
-                                                 maxiter=maxiter)
+                                                 maxiter=maxiter,
+                                                 ls_steps=ls_steps)
         topt = topt.astype(dtype)
 
         def posterior(theta, y2):
