@@ -29,14 +29,37 @@ _ARRAY_FIELDS = [
 _EIGH_FIELDS = ['_eigh_eig', '_eigh_Q']
 
 
+_TRUNC_ARRAY_FIELDS = ['X_train_', 'y_train_', 'coeffs_', 'dX_', 'dy_']
+
+
 def state_dict(gp):
     """Extracts the fitted state of a conjugate process as plain arrays.
+
+    Also accepts the TruncationGP/TruncationTP wrappers: their state is
+    the fitted coefficient process plus the extracted coefficients and
+    any (dX, dy) constraint data.  (TruncationPointwise refits in closed
+    form in O(N*k) — persist the inputs instead.)
 
     Returns (arrays, meta): a dict of numpy arrays and a JSON-serializable
     metadata dict (kernel structure + hyperparameters + priors).
     """
     if not getattr(gp, '_fit', False):
         raise ValueError('Model must be fitted before checkpointing')
+    if hasattr(gp, 'coeffs_process'):
+        inner_arrays, inner_meta = state_dict(gp.coeffs_process)
+        arrays = {'cp.' + k: v for k, v in inner_arrays.items()}
+        for f in _TRUNC_ARRAY_FIELDS:
+            v = getattr(gp, f, None)
+            if v is not None:
+                arrays[f] = np.asarray(v)
+        meta = {
+            'class': type(gp).__name__,
+            'orders_': np.asarray(gp.orders_).tolist(),
+            'excluded': (None if gp.excluded is None
+                         else np.atleast_1d(gp.excluded).tolist()),
+            'coeffs_process': inner_meta,
+        }
+        return arrays, meta
     arrays = {}
     for f in _ARRAY_FIELDS:
         v = getattr(gp, f, None)
@@ -112,9 +135,30 @@ def restore_state(gp, arrays, meta):
     """Restores fitted state into a compatible (unfitted) model instance.
 
     The caller constructs ``gp`` with the same constructor arguments
-    (kernel structure, priors); this validates that and fills in the fitted
-    attributes, marking the model as fitted.
+    (kernel structure, priors, and — for truncation models — the same
+    ratio/ref callables, which are code and cannot be serialized); this
+    validates what it can and fills in the fitted attributes, marking the
+    model as fitted.
     """
+    if 'coeffs_process' in meta:
+        if type(gp).__name__ != meta['class']:
+            raise ValueError('checkpoint is a %s, instance is a %s'
+                             % (meta['class'], type(gp).__name__))
+        exc_ckpt = meta.get('excluded')
+        exc_inst = (None if gp.excluded is None
+                    else np.atleast_1d(gp.excluded).tolist())
+        if exc_ckpt != exc_inst:
+            raise ValueError('excluded orders differ: instance %r vs '
+                             'checkpoint %r' % (exc_inst, exc_ckpt))
+        inner = {k[3:]: v for k, v in arrays.items() if k.startswith('cp.')}
+        restore_state(gp.coeffs_process, inner, meta['coeffs_process'])
+        for f in _TRUNC_ARRAY_FIELDS:
+            if f in arrays:
+                setattr(gp, f, jnp.asarray(arrays[f]))
+        gp.orders_ = np.asarray(meta['orders_'])
+        gp._fit = True
+        return gp
+
     _check_restore_compat(gp, meta)
     kernel = gp.kernel if gp.kernel is not None else gp._default_kernel
     gp.kernel_ = kernel.clone()

@@ -85,3 +85,38 @@ def test_restore_rejects_mismatched_priors(tmp_path):
                                      center=0, disp=0, df=3, scale=1.0)
     gm.checkpoint.load(path, ok)   # same config restores fine
     np.testing.assert_allclose(np.asarray(ok.center_), np.asarray(gp.center_))
+
+
+def test_truncation_gp_roundtrip(tmp_path):
+    """TruncationGP persists as coeffs-process state + coefficients +
+    constraints; predictions match after restore into a fresh instance."""
+    import gsum_tpu.checkpoint as ck
+
+    X = np.linspace(0, 1, 15)[:, None]
+    orders = np.arange(4)
+    y = np.asarray(gm.toy_data(X, orders, ratio=0.5, ref=5, ls=0.4, sd=1.0,
+                               rng=3))
+    dX = np.array([[0.0]])
+    dy = np.zeros(1)
+
+    def make():
+        return gm.TruncationGP(kernel=gm.RBF(0.4, 'fixed'), ratio=0.5, ref=5,
+                               df=3, scale=1, nugget=1e-8, optimizer=None)
+
+    t1 = make().fit(X, y, orders=orders, dX=dX, dy=dy)
+    path = str(tmp_path / 'tgp.npz')
+    ck.save(path, t1)
+
+    t2 = ck.load(path, make())
+    for kind in ['interp', 'trunc']:
+        m1, s1 = t1.predict(X, order=2, return_std=True, kind=kind)
+        m2, s2 = t2.predict(X, order=2, return_std=True, kind=kind)
+        np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-12)
+
+    # mismatched excluded orders are rejected
+    bad = gm.TruncationGP(kernel=gm.RBF(0.4, 'fixed'), ratio=0.5, ref=5,
+                          df=3, scale=1, nugget=1e-8, optimizer=None,
+                          excluded=[0])
+    with pytest.raises(ValueError):
+        ck.load(path, bad)
