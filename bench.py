@@ -9,15 +9,16 @@ the reference's compute stack.
 
 Engine: the GEMM-dominated blocked factorization (gsum_tpu.ops.blockchol —
 left-looking column blocks, Pallas diagonal-block kernel, inverse-based
-TRSMs) at full-f32 MXU precision.  Measured at ~95% of the chip's f32
-six-pass GEMM ceiling; see docs/perf.md for the roofline breakdown.
+TRSMs) at full-f32 MXU precision — ~12% over XLA's native batched
+Cholesky at equal accuracy; see docs/perf.md for the roofline breakdown.
 
 Methodology: the tunneled TPU here does not synchronize on
 block_until_ready and has a ~25-30 ms host-fetch round trip, so the
-pipeline is timed as `iters` data-dependent executions inside ONE jitted
-call, ended by a single scalar fetch, with the measured fetch floor
-subtracted (the round-1 bench under-reported ~4x by paying that floor per
-call).
+pipeline is timed as `iters` executions inside ONE jitted call, ended by
+a single scalar fetch, with the measured fetch floor subtracted.  Each
+iteration's input consumes the previous carry — without that data edge
+XLA hoists the loop-invariant body and one execution is counted as
+`iters` (the bug behind an earlier 4x-inflated figure; docs/perf.md).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -52,7 +53,11 @@ def bench_tpu(B, N, d, m, iters=4, repeats=3):
     @jax.jit
     def run(c, X_, y_):
         def body(i, c):
-            out = batched_chol_logpdf(X_, y_, 0.25, 1.0, 1e-2,
+            # carry -> input data edge: an invariant body could legally
+            # be hoisted out of the fori_loop, timing 1 execution as
+            # `iters` (the perturbation is exactly 0 in f32 arithmetic)
+            Xc = X_ + (1e-30 * jnp.sum(c)).astype(X_.dtype)
+            out = batched_chol_logpdf(Xc, y_, 0.25, 1.0, 1e-2,
                                       method='blocked')
             return c + 1e-6 * jnp.sum(out) * jnp.ones_like(c)
         return jnp.sum(jax.lax.fori_loop(0, iters, body, c)[:1, :1])

@@ -48,7 +48,11 @@ def main():
                               precision=jax.lax.Precision.HIGH)),
     ]:
         def step(c, X_, y_, kw=kw):
-            out = batched_chol_logpdf(X_, y_, 0.25, 1.0, 1e-2, **kw)
+            # carry -> input data edge: without it the loop body is
+            # invariant and XLA may hoist the whole pipeline out of the
+            # fori_loop (measuring 1 execution as iters)
+            Xc = X_ + (1e-30 * jnp.sum(c)).astype(X_.dtype)
+            out = batched_chol_logpdf(Xc, y_, 0.25, 1.0, 1e-2, **kw)
             return c + 1e-6 * jnp.sum(out) * jnp.ones_like(c)
         c0 = jnp.zeros((8, 8), dtype=jnp.float32)
         gf, dt = timed_loop(step, c0, per_iter, iters=4, consts=(X, y))

@@ -57,7 +57,7 @@ def main():
     # N=512 is omitted: the batched engine's unrolled recursion generates
     # HLO large enough that the remote compile helper is OOM-killed
     # (SIGKILL at G>=128); the production path (parallel.batched_lml_grid)
-    # switches engines at N>512 anyway.
+    # switches engines at N>256 accordingly.
     sizes = [(1024, 128, 128), (1024, 256, 128)]
     for dt, (G, N, Gv) in itertools.product(['f64', 'f32'], sizes):
         jdt = jnp.float64 if dt == 'f64' else jnp.float32

@@ -45,6 +45,10 @@ def state_dict(gp):
     """
     if not getattr(gp, '_fit', False):
         raise ValueError('Model must be fitted before checkpointing')
+    if type(gp).__name__ == 'TruncationPointwise':
+        raise ValueError(
+            'TruncationPointwise has no expensive fitted state — refit in '
+            'closed form (O(N*k)) from the persisted inputs instead')
     if hasattr(gp, 'coeffs_process'):
         inner_arrays, inner_meta = state_dict(gp.coeffs_process)
         arrays = {'cp.' + k: v for k, v in inner_arrays.items()}

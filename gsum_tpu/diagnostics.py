@@ -354,7 +354,11 @@ class GraphicalDiagnostic:
         return ax
 
     def box(self, data, ref, title=None, xlabel=None, ylabel=None,
-            trim=True, ax=None):
+            trim=True, size=8, legend=False, ax=None):
+        # ``size``/``legend`` are accepted for reference API parity
+        # (reference diagnostics.py:387); the box renderer has no marker
+        # sizing or legend content, so they are no-ops as in practice there
+        del size, legend
         from . import viz
 
         if hasattr(ref, 'ppf'):
@@ -424,13 +428,16 @@ class GraphicalDiagnostic:
                          ax=ax)
 
     def credible_interval(self, intervals, band_perc, ax=None,
-                          title='Credible Interval Diagnostic'):
+                          title='Credible Interval Diagnostic',
+                          xlabel='Credible Interval',
+                          ylabel='Empirical Coverage', linestyles=None):
         from . import viz
 
         intervals = np.atleast_1d(np.asarray(intervals, dtype=float))
         data_cov, bands = self.coverage_band_data(intervals, band_perc)
         return viz.draw_coverage(intervals, data_cov, bands, self.style,
-                                 title=title, ax=ax)
+                                 title=title, ax=ax, xlabel=xlabel,
+                                 ylabel=ylabel, linestyles=linestyles)
 
     def variogram(self, X, title='Variogram', xlabel='Lag', ax=None,
                   n_bins=6):

@@ -743,9 +743,14 @@ class ConjugateStudentProcess(BaseConjugateProcess):
                 pred_noise=False):
         R"""GP prediction plus the mean-uncertainty term var·(B_c V B_cᵀ)
         with the conditional basis B_c (reference models.py:1127-1182)."""
-        if self._fit and Xc is None and y is None:
+        if self._fit and Xc is None and y is None \
+                and type(self).predict in _FUSED_PREDICT_IMPLS:
             # common path: one fused jitted call — the base-class closure
-            # (kind='tp') computes the mean-uncertainty term on device
+            # (kind='tp') computes the mean-uncertainty term on device.
+            # Subclasses overriding predict fall through to the eager path
+            # below, which adds the term explicitly (the base gate would
+            # otherwise route them to the plain-GP closure and the term
+            # would be silently lost).
             return super().predict(X=X, return_std=return_std,
                                    return_cov=return_cov, pred_noise=pred_noise)
 

@@ -95,8 +95,10 @@ def batched_chol_logpdf(X, y, length_scale, amplitude, noise, method='auto',
     length_scale, amplitude, noise : scalars or (B,)-broadcastable
     method : 'auto' | 'blocked' | 'xla' — factorization engine.  'blocked'
         is the GEMM-dominated left-looking factorization
-        (``ops.blockchol``), ~3-4x XLA's native batched Cholesky at the
-        N=4096 headline size; 'auto' selects it for N > 512.
+        (``ops.blockchol``), ~12% faster than XLA's native batched
+        Cholesky at the N=4096 headline size at equal (full-f32)
+        accuracy, ~25% at ``Precision.HIGH``; 'auto' selects it for
+        N > 512.
     precision : MXU precision for the blocked factorization's GEMMs
 
     Returns

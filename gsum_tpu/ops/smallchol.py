@@ -173,9 +173,13 @@ def _cholesky_raw(A, leaf=16):
 def batched_small_cholesky(A, leaf=16):
     """Cholesky of a batch of small SPD matrices, batch-first vectorized.
 
-    ~10-40x faster than ``jnp.linalg.cholesky`` on TPU for
-    (G >= ~100, N <= ~512) batches; identical math (same factor up to
-    roundoff).  Differentiation uses the standard analytic Cholesky adjoint
+    Far faster than ``jnp.linalg.cholesky`` on TPU for (G >= ~100,
+    N <= ~512) batches, where XLA's batched factorization is
+    latency-bound.  Measured end-to-end impact: the grid-lml engine built
+    on this runs 153-179x the vmapped-XLA path at f32 N=128-256
+    (benchmarks/gridlml_tpu.py, docs/perf.md).  Identical math (same
+    factor up to roundoff).
+    Differentiation uses the standard analytic Cholesky adjoint
     (Murray 2016): ``Ā = 0.5 sym(M^T Φ(L^T L̄) M)`` with ``M = L^{-1}`` and
     Φ the lower-triangular half-diagonal projector — a handful of batched
     GEMMs instead of the recursion's reverse pass.

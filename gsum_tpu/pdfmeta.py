@@ -43,9 +43,22 @@ def save_figure_with_metadata(fig, path, metadata):
 
 
 def _validate_key(key):
-    if not re.fullmatch(r'[^\s/<>\[\]()]+', key):
-        raise ValueError('invalid PDF Info key %r: keys must have no '
-                         'whitespace or delimiter characters' % (key,))
+    if not re.fullmatch(r'[^\s/<>\[\]()]+', key) or not key.isascii():
+        raise ValueError('invalid PDF Info key %r: keys must be ASCII with '
+                         'no whitespace or delimiter characters' % (key,))
+
+
+def _pdf_string(value):
+    """A PDF string object: literal when Latin-1 suffices, else a
+    UTF-16BE hex string (the standard unicode encoding for Info values —
+    and what :func:`_parse_info_dict` already decodes)."""
+    out = str(value)
+    try:
+        out.encode('latin-1')
+    except UnicodeEncodeError:
+        raw = b'\xfe\xff' + out.encode('utf-16-be')
+        return '<' + raw.hex().upper() + '>'
+    return '(' + _escape_literal(out) + ')'
 
 
 def _escape_literal(value):
@@ -194,7 +207,7 @@ def add_pdf_metadata(pdf_file, metadata_dict):
     merged.update({str(k): str(v) for k, v in metadata_dict.items()})
 
     new_num = size  # first unused object number
-    entries = ''.join('/%s (%s) ' % (k, _escape_literal(v))
+    entries = ''.join('/%s %s ' % (k, _pdf_string(v))
                       for k, v in merged.items())
     obj = ('%d 0 obj\n<< %s>>\nendobj\n' % (new_num, entries)).encode('latin-1')
 

@@ -254,7 +254,8 @@ def draw_dist_violin(xs, pdf, data_values, style, title=None, ax=None,
 
 
 def draw_coverage(intervals, data_coverage, bands, style, title=None,
-                  ax=None):
+                  ax=None, xlabel='Credible interval',
+                  ylabel='Empirical coverage', linestyles=None):
     """Empirical vs nominal credible-interval coverage with simulated
     envelopes and the ideal diagonal."""
     ax = _get_ax(ax)
@@ -268,11 +269,13 @@ def draw_coverage(intervals, data_coverage, bands, style, title=None,
     ax.plot([0, 1], [0, 1], color=style.black, lw=1, zorder=1)
     for i in range(data_coverage.shape[0]):
         c = style.curve(i)
-        ax.plot(intervals, data_coverage[i], color=c['color'], zorder=2)
+        ls = None if linestyles is None else linestyles[i]
+        ax.plot(intervals, data_coverage[i], color=c['color'], ls=ls,
+                zorder=2)
     ax.set_xlim(0, 1)
     ax.set_ylim(0, 1)
-    ax.set_xlabel('Credible interval')
-    ax.set_ylabel('Empirical coverage')
+    ax.set_xlabel(xlabel)
+    ax.set_ylabel(ylabel)
     if title:
         ax.set_title(title)
     return ax

@@ -170,3 +170,33 @@ def test_csp_predict_uses_fused_path():
         models_mod.solve_sqrt = real
     np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
     np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+
+
+def test_csp_subclass_keeps_mean_uncertainty():
+    """A subclass overriding predict and delegating to super() must still
+    get the Student-t mean-uncertainty term (the fused-path gate routes
+    overrides to the eager path, which adds it explicitly)."""
+    class MyCSP(gm.ConjugateStudentProcess):
+        def predict(self, X, **kw):
+            return super().predict(X, **kw)
+
+    X = np.linspace(0, 1, 12)[:, None]
+    y = np.sin(3 * X.T) + 0.05 * np.cos(9 * X.T)
+    y = np.vstack([y, 0.8 * y]).T  # (12, 2) curves
+    kw = dict(kernel=gm.RBF(0.4, 'fixed'), disp=2.0, df=5, scale=1,
+              nugget=1e-8)
+    Xnew = np.linspace(0.05, 0.95, 7)[:, None]
+
+    base = gm.ConjugateStudentProcess(**kw).fit(X, y)
+    sub = MyCSP(**kw).fit(X, y)
+    # fused (one jitted program) vs eager (several dispatches) differ in
+    # op order, so agreement is roundoff-level, not bitwise; the bug this
+    # guards against was a ~7% missing-term error
+    m_b, s_b = base.predict(Xnew, return_std=True)
+    m_s, s_s = sub.predict(Xnew, return_std=True)
+    np.testing.assert_allclose(np.asarray(m_s), np.asarray(m_b), rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(s_s), np.asarray(s_b), rtol=1e-8)
+    m_b, c_b = base.predict(Xnew, return_cov=True)
+    m_s, c_s = sub.predict(Xnew, return_cov=True)
+    np.testing.assert_allclose(np.asarray(c_s), np.asarray(c_b), rtol=1e-8,
+                               atol=1e-16)

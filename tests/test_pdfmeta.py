@@ -73,3 +73,16 @@ def test_invalid_key_rejected(figure_pdf):
         add_pdf_metadata(figure_pdf, {'bad key': 'x'})
     with pytest.raises(TypeError):
         add_pdf_metadata(figure_pdf, ['not', 'a', 'dict'])
+
+
+def test_unicode_metadata_roundtrip(figure_pdf):
+    """Non-Latin-1 values (the library's own domain vocabulary) are
+    written as UTF-16BE hex strings and read back intact."""
+    meta = {'label': 'Λ_b = 600 MeV', 'obs': 'σ_tot, χ²'}
+    add_pdf_metadata(figure_pdf, meta)
+    got = get_pdf_metadata(figure_pdf)
+    assert got['label'] == 'Λ_b = 600 MeV'
+    assert got['obs'] == 'σ_tot, χ²'
+    # non-ASCII keys are rejected with a clear error
+    with pytest.raises(ValueError):
+        add_pdf_metadata(figure_pdf, {'Λkey': 'x'})
