@@ -1,14 +1,12 @@
 R"""Pallas diagonal-block factorizer: Cholesky + triangular inverse in VMEM.
 
-The blocked large-N factorization (``ops.blockchol``) is GEMM-dominated
-except for one hard part: the per-step diagonal-block Cholesky.  At the
-headline batch (B=16) every XLA formulation of a 256×256 factorization is
-latency-bound — ~2-4 ms per call whether via ``jnp.linalg.cholesky`` or
-the batch-vectorized recursion (benchmarks/micro_tpu.py), because the
-sequential column recursion becomes thousands of microscopic XLA ops.
-
-This kernel runs the whole factorization *inside one Pallas launch* with
-two-level blocking:
+The blocked large-N factorization (``ops.blockchol``) needs, per column
+step, the diagonal block's Cholesky factor AND its triangular inverse
+(its TRSMs are GEMMs against the inverse).  This kernel produces both in
+one Pallas launch (~0.8 ms at (16, 256), carry-dependent timing): about
+what ``jnp.linalg.cholesky`` alone costs (~0.7 ms), with the inverse
+included — the separate XLA factor+invert sequence is the slower and
+more launch-heavy formulation.  Structure (two-level blocking):
 
 - the column recursion runs panel-by-panel (panel = 32 columns); the
   masked rank-1 updates inside a panel touch only the (G, nb, 32) slab,
