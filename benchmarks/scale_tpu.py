@@ -10,8 +10,8 @@ sweep".  This script measures each leg at production scale:
      N=256+ fits route to the vmapped scalar engine — see
      parallel.batched_fit's engine selection)
   2. hyperparameter-grid logpdf sweep: 10,240 lml evaluations at N=512
-     with a 2D kernel (scalar engine: the batched engine's unrolled HLO
-     OOM-kills the remote compile service at this N)
+     with a 2D kernel (scan engine, ops.scanchol: O(1) compile size;
+     6.1 ms/eval steady-state, 8.8x the vmapped scalar path)
   3. batched MAP fit at N=4096 (B=8, vmapped scalar engine)
   4. one N=16,384 covariance-build + Cholesky + MVN-lml — the
      single-chip large-N latency point.  XLA's native Cholesky: at B=1

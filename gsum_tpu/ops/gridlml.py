@@ -39,7 +39,8 @@ def batched_cho_solve(L, B, leaf=16):
                       precision=_HI)
 
 
-def cgp_lml_grid(Rs, y, basis, center0, disp0, df0, scale0, leaf=16):
+def cgp_lml_grid(Rs, y, basis, center0, disp0, df0, scale0, leaf=16,
+                 engine='unrolled'):
     R"""ConjugateGaussianProcess lml for a batch of correlation matrices.
 
     Parameters
@@ -51,6 +52,12 @@ def cgp_lml_grid(Rs, y, basis, center0, disp0, df0, scale0, leaf=16):
         (the batched-fit path pairs each theta with its own data set)
     basis : (N, p) — mean basis (shared)
     center0, disp0, df0, scale0 : concrete prior hyperparameters
+
+    engine : 'unrolled' | 'scan' — factorization/solve engine.
+        'unrolled' (ops.smallchol) is fastest but its HLO grows with N
+        until compilation fails (~N=512 forward, ~N=256 under an
+        optimizer adjoint); 'scan' (ops.scanchol) has O(1) compile size
+        at ~6x the factorization FLOPs — the N=256-1024 grid engine.
 
     Returns
     -------
@@ -72,12 +79,21 @@ def cgp_lml_grid(Rs, y, basis, center0, disp0, df0, scale0, leaf=16):
     disp0_zero = bool(np.all(disp0_np == 0))
     df0_inf = bool(np.isinf(df0))
 
-    L0 = batched_small_cholesky(Rs, leaf)
+    if engine == 'scan':
+        from .scanchol import scan_blocked_cholesky, scan_cho_solve
+
+        L0, _ = scan_blocked_cholesky(Rs)
+    else:
+        L0 = batched_small_cholesky(Rs, leaf)
     diag = jnp.diagonal(L0, axis1=-2, axis2=-1)
     ok = jnp.all(jnp.isfinite(diag) & (diag > 0), axis=-1)          # (G,)
     eye = jnp.eye(N, dtype=dtype)
     Rs_safe = jax.lax.optimization_barrier(jnp.where(ok[:, None, None], Rs, eye))
-    L = jax.lax.optimization_barrier(batched_small_cholesky(Rs_safe, leaf))
+    if engine == 'scan':
+        L, minvs = scan_blocked_cholesky(Rs_safe)
+        L = jax.lax.optimization_barrier(L)
+    else:
+        L = jax.lax.optimization_barrier(batched_small_cholesky(Rs_safe, leaf))
 
     # Solves: R^{-1} y and R^{-1} B for every grid point
     if per_point_y:
@@ -86,7 +102,10 @@ def cgp_lml_grid(Rs, y, basis, center0, disp0, df0, scale0, leaf=16):
     else:
         yB = jnp.broadcast_to(
             jnp.concatenate([y, basis], axis=1)[None], (G, N, m + p))
-    invR_yB = batched_cho_solve(L, yB, leaf)
+    if engine == 'scan':
+        invR_yB = scan_cho_solve(L, minvs, yB)
+    else:
+        invR_yB = batched_cho_solve(L, yB, leaf)
     invR_y = invR_yB[..., :m]                                       # (G, N, m)
     invR_B = invR_yB[..., m:]                                       # (G, N, p)
 

@@ -95,17 +95,19 @@ def _resolve_basis(basis, X):
 _GRID_FN_CACHE = {}
 
 
-def _get_grid_fn(kernel, center, disp, df, scale, nugget, small):
+def _get_grid_fn(kernel, center, disp, df, scale, nugget, grid_engine):
+    """Compiled grid evaluator; ``grid_engine`` is 'unrolled', 'scan',
+    or None (the vmapped scalar lml)."""
     c0 = np.atleast_1d(center)
     V0 = np.atleast_2d(disp)
     key = (kernel.structure_key(), c0.tobytes(), V0.tobytes(), float(df),
-           float(scale), float(nugget), bool(small))
+           float(scale), float(nugget), grid_engine)
     fn = _GRID_FN_CACHE.get(key)
     if fn is not None:
         return fn
 
     frozen = kernel.clone()
-    if small:
+    if grid_engine is not None:
         from ..ops.gridlml import cgp_lml_grid
 
         def raw(ths, X, y2, basis):
@@ -115,7 +117,8 @@ def _get_grid_fn(kernel, center, disp, df, scale, nugget, small):
             # materialize Rs so XLA cannot fuse the covariance build into
             # every slice consumer of the blocked factorization
             Rs = jax.lax.optimization_barrier(Rs)
-            return cgp_lml_grid(Rs, y2, basis, c0, V0, df, scale)
+            return cgp_lml_grid(Rs, y2, basis, c0, V0, df, scale,
+                                engine=grid_engine)
     else:
         lml = make_lml_fn(kernel, center, disp, df, scale, nugget)
 
@@ -135,10 +138,12 @@ def batched_lml_grid(kernel, X, y, thetas, center=0, disp=0, df=1, scale=1,
     (``ops.gridlml.cgp_lml_grid``): only the covariance build is vmapped;
     factorization, solves, and conjugate updates are batch-leading tensor
     ops (XLA's native batched Cholesky/TRSM are latency-bound far below
-    peak in that regime — 150-180x at f32, docs/perf.md).  Larger N falls
-    back to the vmapped scalar lml: the batched engine's unrolled HLO
-    OOM-kills the remote compile service at N=512 on this toolchain.
-    ``engine`` ('auto' | 'grid' | 'scalar') overrides the choice.
+    peak in that regime — 150-180x at f32, docs/perf.md).  From N=257 to
+    1024 the same evaluator runs on the scan-based factorization
+    (``ops.scanchol``: O(1) compile size at ~6x the factorization FLOPs
+    — the unrolled engine's HLO OOM-kills the remote compile service at
+    N=512).  Above that it falls back to the vmapped scalar lml.
+    ``engine`` ('auto' | 'grid' | 'scan' | 'scalar') overrides.
 
     Parameters
     ----------
@@ -161,10 +166,16 @@ def batched_lml_grid(kernel, X, y, thetas, center=0, disp=0, df=1, scale=1,
     thetas = jnp.asarray(thetas)
     N = X.shape[0]
 
-    if engine not in ('auto', 'grid', 'scalar'):
-        raise ValueError("engine must be 'auto', 'grid', or 'scalar'")
-    small = N <= 256 if engine == 'auto' else engine == 'grid'
-    fn = _get_grid_fn(kernel, center, disp, df, scale, nugget, small=small)
+    if engine not in ('auto', 'grid', 'scan', 'scalar'):
+        raise ValueError(
+            "engine must be 'auto', 'grid', 'scan', or 'scalar'")
+    if engine == 'auto':
+        grid_engine = ('unrolled' if N <= 256
+                       else 'scan' if N <= 1024 else None)
+    else:
+        grid_engine = {'grid': 'unrolled', 'scan': 'scan',
+                       'scalar': None}[engine]
+    fn = _get_grid_fn(kernel, center, disp, df, scale, nugget, grid_engine)
     if mesh is not None:
         thetas = jax.device_put(thetas, NamedSharding(mesh, P('batch')))
     return fn(thetas, X, y2, basis)
@@ -227,12 +238,15 @@ def batched_fit(kernel, X, y_batch, center=0, disp=0, df=1, scale=1,
     chunk : int or None — evaluate at most this many fits per device call
         (the tunneled TPU runtime here kills executions that run too long;
         chunking also bounds memory).  One compile serves all chunks.
-    engine : 'auto' | 'grid' | 'scalar' — lml engine for the wide lockstep
-        objective.  'grid' is the explicitly-batched evaluator (fastest
-        below N~256 but its unrolled forward+adjoint HLO grows with N until
-        compilation becomes impractical); 'scalar' is the vmapped scalar
-        lml (XLA batched Cholesky — compile-light, near-peak at large N).
-        'auto' picks 'grid' for N <= 192 and 'scalar' above.
+    engine : 'auto' | 'grid' | 'scan' | 'scalar' — lml engine for the
+        wide lockstep objective.  'grid' is the explicitly-batched
+        evaluator (fastest below N~256 but its unrolled forward+adjoint
+        HLO grows with N until compilation becomes impractical); 'scan'
+        is the same evaluator on the scan-based factorization
+        (``ops.scanchol``: O(1) compile size, ~6x factorization FLOPs);
+        'scalar' is the vmapped scalar lml (XLA batched Cholesky).
+        'auto' picks 'grid' for N <= 192, 'scan' to N <= 640, 'scalar'
+        above.
     ls_steps : int — linesearch trial points per L-BFGS iteration.  Every
         trial's covariance build + factorization is live simultaneously
         (ls_steps x chunk matrices), so lower this together with ``chunk``
@@ -311,11 +325,19 @@ def _batched_fit_wide(frozen, X, y_batch, basis, starts, lower, upper,
     # recursion is the win at small N (XLA's batched small-N Cholesky is
     # latency-bound ~20x slower there) but its forward+adjoint HLO under
     # the L-BFGS scan grows with N until the remote compile service grinds
-    # or is OOM-killed (observed at N=256); the vmapped scalar lml is
-    # compile-light and near XLA's large-N Cholesky rate.
-    if engine not in ('auto', 'grid', 'scalar'):
-        raise ValueError("engine must be 'auto', 'grid', or 'scalar'")
-    use_grid_engine = N <= 192 if engine == 'auto' else engine == 'grid'
+    # or is OOM-killed (observed at N=256); the scan engine keeps the
+    # batched formulation at O(1) compile size up to mid-size N; the
+    # vmapped scalar lml is the compile-light large-N fallback.
+    if engine not in ('auto', 'grid', 'scan', 'scalar'):
+        raise ValueError(
+            "engine must be 'auto', 'grid', 'scan', or 'scalar'")
+    if engine == 'auto':
+        grid_engine = ('unrolled' if N <= 192
+                       else 'scan' if N <= 640 else None)
+    else:
+        grid_engine = {'grid': 'unrolled', 'scan': 'scan',
+                       'scalar': None}[engine]
+    use_grid_engine = grid_engine is not None
     if not use_grid_engine:
         scalar_lml = ConjugateGaussianProcess._make_lml_fn(
             frozen.value_fn, nugget, 'cholesky', c0, V0, df0, scale0)
@@ -335,7 +357,8 @@ def _batched_fit_wide(frozen, X, y_batch, basis, starts, lower, upper,
                                                      None))(Thetas)
             Rs = Rs + nugget * jnp.eye(N, dtype=Rs.dtype)
             Rs = jax.lax.optimization_barrier(Rs)
-            return -cgp_lml_grid(Rs, Ys_full, basis, c0, V0, df0, scale0)
+            return -cgp_lml_grid(Rs, Ys_full, basis, c0, V0, df0, scale0,
+                                 engine=grid_engine)
 
         topt, fmin = fixed_lbfgs_bounded_batched(fun_b, T0, lower, upper,
                                                  maxiter=maxiter,
