@@ -44,6 +44,8 @@ def main():
         ('xla', dict(method='xla')),
         ('blocked_highest', dict(method='blocked',
                                  precision=jax.lax.Precision.HIGHEST)),
+        ('blocked_highest_fori', dict(method='blocked', diag='pallas_fori',
+                                      precision=jax.lax.Precision.HIGHEST)),
         ('blocked_high', dict(method='blocked',
                               precision=jax.lax.Precision.HIGH)),
     ]:

@@ -7,8 +7,8 @@ sweep".  This script measures each leg at production scale:
   1. batched MAP fit of 10,240 independent observables at N=128
      (chunked lockstep L-BFGS on the explicitly-batched grid engine;
      chunking respects the tunneled worker's single-execution limit.
-     N=256+ fits route to the vmapped scalar engine — see
-     parallel.batched_fit's engine selection)
+     Auto routing: fits use 'grid' for N <= 192, 'scan' to N <= 640,
+     the vmapped scalar engine above — see parallel.batched_fit)
   2. hyperparameter-grid logpdf sweep: 10,240 lml evaluations at N=512
      with a 2D kernel (scan engine, ops.scanchol: O(1) compile size;
      6.1 ms/eval steady-state, 8.8x the vmapped scalar path)

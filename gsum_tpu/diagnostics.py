@@ -406,26 +406,141 @@ class GraphicalDiagnostic:
         return renderer(md, self.md_ref_dist, title=title, ax=ax, **kwargs)
 
     def kl(self, X, gp, predict=False, vlines=True, title='KL Divergence',
-           ax=None):
+           ax=None, engine='auto', fit_kws=None):
         """Where the data's KL falls among reference draws: the GP is refit
         to every reference sample and to each data curve; each fit's
-        (mean, cov) at X is compared to the diagnostic's via KL."""
-        X = np.asarray(X)
+        (mean, cov) at X is compared to the diagnostic's via KL.
 
-        def fit_kl(y):
-            g = gp.fit(X, np.asarray(y))
-            if predict:
-                m, c = g.predict(X, return_cov=True)
-            else:
-                m, c = g.mean(X), g.cov(X)
-            return float(np.asarray(self.diagnostic.kl(m, c)))
+        This is the heaviest diagnostic in the suite (reference
+        diagnostics.py:527-555 refits the GP once per draw, nref=1000 by
+        default).  ``engine``:
 
-        ref_kls = np.asarray([fit_kl(self.samples[:, i])
-                              for i in range(self.samples.shape[1])])
-        data_kls = np.asarray([fit_kl(self.data[:, i])
-                               for i in range(self.data.shape[1])])
+        - 'batched' — all refits run as ONE chunked lockstep batched fit
+          on device (``parallel.batched_fit``) and all KLs in one vmapped
+          call: seconds instead of nref sequential host-loop fits.
+          Requires a plain ``ConjugateGaussianProcess`` with the default
+          constant basis and cholesky decomposition.
+        - 'loop' — the reference's per-draw refit loop (any process type).
+        - 'auto' — 'batched' whenever the gp qualifies.
+
+        ``fit_kws`` are forwarded to ``parallel.batched_fit`` (e.g.
+        ``chunk=``, ``maxiter=``, ``engine=`` for the lml engine).
+        """
+        data_kls, ref_kls = self.kl_data(X, gp, predict=predict,
+                                         engine=engine, fit_kws=fit_kws)
         return self.hist(data_kls, ref_kls, title=title, vlines=vlines,
                          ax=ax)
+
+    def kl_data(self, X, gp, predict=False, engine='auto', fit_kws=None):
+        """The numbers behind :meth:`kl`: ``(data_kls, ref_kls)`` arrays.
+        See :meth:`kl` for the ``engine`` semantics."""
+        X = np.asarray(X)
+        n_ref = self.samples.shape[1]
+        n_data = self.data.shape[1]
+
+        if engine not in ('auto', 'batched', 'loop'):
+            raise ValueError("engine must be 'auto', 'batched', or 'loop'")
+        use_batched = engine == 'batched' or (
+            engine == 'auto' and self._kl_batchable(gp))
+        if engine == 'batched' and not self._kl_batchable(gp):
+            raise ValueError('engine="batched" needs a plain '
+                             'ConjugateGaussianProcess with the default '
+                             'constant basis and cholesky decomposition')
+
+        if use_batched:
+            Y_all = np.concatenate([np.asarray(self.samples),
+                                    np.asarray(self.data)], axis=1).T
+            kls = np.asarray(self._kl_batched(X, gp, Y_all, predict,
+                                              fit_kws or {}))
+            ref_kls, data_kls = kls[:n_ref], kls[n_ref:]
+        else:
+            def fit_kl(y):
+                g = gp.fit(X, np.asarray(y))
+                if predict:
+                    m, c = g.predict(X, return_cov=True)
+                else:
+                    m, c = g.mean(X), g.cov(X)
+                return float(np.asarray(self.diagnostic.kl(m, c)))
+
+            ref_kls = np.asarray([fit_kl(self.samples[:, i])
+                                  for i in range(n_ref)])
+            data_kls = np.asarray([fit_kl(self.data[:, i])
+                                   for i in range(n_data)])
+        return data_kls, ref_kls
+
+    @staticmethod
+    def _kl_batchable(gp):
+        from .models import ConjugateGaussianProcess, _default_basis
+
+        return (type(gp) is ConjugateGaussianProcess
+                and gp.basis is _default_basis
+                and gp.decomposition == 'cholesky')
+
+    def _kl_batched(self, X, gp, Y_all, predict, fit_kws):
+        """Device-batched KL: one lockstep batched MAP fit of every curve
+        (or, for a fully-fixed kernel, one shared factorization + vmapped
+        conjugate updates), then one vmapped (mean, cov, KL) evaluation."""
+        import jax
+
+        from . import conjugate as _conj
+        from .parallel.batched import batched_fit
+
+        kernel = gp.kernel if gp.kernel is not None else gp._default_kernel
+        frozen = kernel.clone()
+        Xj = jnp.atleast_2d(jnp.asarray(X))
+        diag = self.diagnostic
+        Y2 = jnp.asarray(Y_all)[:, :, None]
+        B = Y_all.shape[0]
+
+        if gp.optimizer is not None and int(np.asarray(kernel.theta).size):
+            seed = gp.random_state if isinstance(gp.random_state,
+                                                 (int, np.integer)) else 0
+            kws = dict(center=gp.center0, disp=gp.disp0, df=gp.df0,
+                       scale=gp.scale0, nugget=gp.nugget,
+                       n_restarts=gp.n_restarts_optimizer, seed=int(seed))
+            kws.update(fit_kws)
+            post = batched_fit(kernel, X, Y_all, **kws)
+            thetas, centers = post.theta, post.center
+            cov_factors, chols = post.cov_factor, post.chol
+        else:
+            # no optimization happens (fixed kernel, or optimizer=None):
+            # the correlation matrix is shared, so factorize once and vmap
+            # the closed-form conjugate update
+            theta0 = jnp.asarray(kernel.theta, dtype=Xj.dtype)
+            R0 = frozen.value_fn(theta0, Xj, None)
+            L0 = jnp.linalg.cholesky(
+                R0 + gp.nugget * jnp.eye(Xj.shape[0], dtype=R0.dtype))
+            basis1 = jnp.ones((Xj.shape[0], 1), dtype=R0.dtype)
+            c0, V0 = gp.center0, gp.disp0
+            df0, scale0 = gp.df0, gp.scale0
+
+            def upd(y2):
+                c = _conj.compute_center(y2, L0, basis1, c0, V0)
+                s2 = _conj.compute_scale_sq(y2, L0, basis1, c0, V0,
+                                            df0, scale0)
+                df = _conj.compute_df(y2, df0)
+                return c, _conj.compute_cov_factor(s2, df)
+
+            centers, cov_factors = jax.jit(jax.vmap(upd))(Y2)
+            thetas = jnp.zeros((B, 0), dtype=Xj.dtype)
+            chols = jnp.broadcast_to(L0, (B,) + L0.shape)
+
+        def one(theta, center, cov_factor, chol, y2):
+            from jax.scipy.linalg import cho_solve
+
+            R = frozen.value_fn(theta, Xj, None)
+            # constant basis (enforced by _kl_batchable): mean = 1 * center
+            mean = jnp.ones((Xj.shape[0],), R.dtype) * jnp.squeeze(center)
+            if predict:
+                # conditioned at the training points themselves
+                alpha = cho_solve((chol, True), y2 - mean[:, None])
+                m_pred = mean + jnp.squeeze(R @ alpha, -1)
+                R_pred = R - R @ cho_solve((chol, True), R)
+                return diag.kl(m_pred, cov_factor * R_pred)
+            return diag.kl(mean, cov_factor * R)
+
+        fn = jax.jit(jax.vmap(one))
+        return fn(thetas, centers, cov_factors, chols, Y2)
 
     def credible_interval(self, intervals, band_perc, ax=None,
                           title='Credible Interval Diagnostic',

@@ -78,12 +78,17 @@ class BaseConjugateProcess:
     copy_X_train : bool
     random_state : int, jax key, or None
     decomposition : 'cholesky' or 'eig'
+    chol_engine : 'auto', 'xla', or 'blocked' — Cholesky engine for the
+        lml/fit/predict closures.  'auto' (default) uses XLA's native
+        factorization except for large (N>512) float32 matrices on TPU,
+        which route to the GEMM-dominated blocked engine
+        (``ops.blockchol``); see ``_auto_chol``.
     """
 
     def __init__(self, kernel=None, center=0, disp=0, df=1, scale=1, sd=None,
                  basis=None, nugget=1e-10, optimizer='fmin_l_bfgs_b',
                  n_restarts_optimizer=0, copy_X_train=True, random_state=None,
-                 decomposition='cholesky'):
+                 decomposition='cholesky', chol_engine='auto'):
         self.kernel = kernel
 
         self._center_0 = np.atleast_1d(center)
@@ -116,6 +121,8 @@ class BaseConjugateProcess:
         self.n_restarts_optimizer = n_restarts_optimizer
         self.optimizer = optimizer
         self.decomposition = decomposition
+        self.chol_engine = chol_engine
+        _resolve_chol_fn(chol_engine)  # validate eagerly
 
         self._default_kernel = ConstantKernel(1.0, constant_value_bounds='fixed') * \
             RBF(1.0, length_scale_bounds='fixed')
@@ -272,7 +279,8 @@ class BaseConjugateProcess:
         Cache key is the kernel structure: priors/nugget/decomposition are
         fixed per instance.
         """
-        key = ('lml', kernel.structure_key(), self.decomposition)
+        key = ('lml', kernel.structure_key(), self.decomposition,
+               self.chol_engine)
         cached = self._jit_cache.get(key)
         if cached is not None:
             return cached
@@ -284,7 +292,8 @@ class BaseConjugateProcess:
         center0, disp0 = self.center0, self.disp0
         df0, scale0 = self.df0, self.scale0
         lml_fn = self._make_lml_fn(value_fn, nugget, decomposition,
-                                   center0, disp0, df0, scale0)
+                                   center0, disp0, df0, scale0,
+                                   chol_fn=_resolve_chol_fn(self.chol_engine))
 
         value = jax.jit(lml_fn)
         value_and_grad = jax.jit(jax.value_and_grad(lml_fn, argnums=0))
@@ -419,7 +428,8 @@ class BaseConjugateProcess:
 
     def _fit_state_closure(self, kernel):
         """Cached jitted computation of the full fitted state."""
-        key = ('fit', kernel.structure_key(), self.decomposition)
+        key = ('fit', kernel.structure_key(), self.decomposition,
+               self.chol_engine)
         cached = self._jit_cache.get(key)
         if cached is not None:
             return cached
@@ -429,13 +439,14 @@ class BaseConjugateProcess:
         decomposition = self.decomposition
         center0, disp0 = self.center0, self.disp0
         df0, scale0 = self.df0, self.scale0
+        chol_fn = _resolve_chol_fn(self.chol_engine)
 
         def raw(theta, X, y2, basis):
             R = frozen.value_fn(theta, X, None)
             N = X.shape[0]
             R_reg = R + nugget * jnp.eye(N, dtype=R.dtype)
             if decomposition == 'cholesky':
-                L = jnp.linalg.cholesky(R_reg)
+                L = chol_fn(R_reg)
                 sqrt_R, corr_L = L, L
             else:
                 eig, Q = eigh_sqrt(R_reg)
@@ -510,7 +521,7 @@ class BaseConjugateProcess:
             Xc = jnp.atleast_2d(jnp.asarray(Xc))
             kk = self.kernel_(Xc) + self.nugget * jnp.eye(Xc.shape[0])
             if decomp == 'cholesky':
-                sqrt_R = jnp.linalg.cholesky(kk)
+                sqrt_R = _resolve_chol_fn(self.chol_engine)(kk)
             elif decomp == 'eig':
                 sqrt_R = eigh_sqrt(kk)
             else:
@@ -625,6 +636,42 @@ class BaseConjugateProcess:
             z = jax.random.normal(sub, (n_samples, N), dtype=y_cov.dtype)
             samples.append((y_mean[:, i] + z @ L.T).T[:, None])
         return jnp.hstack(samples)
+
+
+def _blocked_chol(R):
+    """Cholesky via the GEMM-dominated blocked engine (ops.blockchol)."""
+    from .ops.blockchol import batched_blocked_cholesky
+
+    if R.ndim == 2:
+        return batched_blocked_cholesky(R[None])[0]
+    return batched_blocked_cholesky(R)
+
+
+def _auto_chol(R):
+    """Size/dtype-routed Cholesky: XLA native everywhere except large f32
+    matrices on TPU, which go to the blocked engine — the reference hot loop
+    (gsum/models.py:957-1039) at N=4096 f32 runs ~12-19% faster there at
+    equal full-f32 accuracy (docs/perf.md).  f64 stays on XLA: every engine
+    is bound by the ~30x emulated-f64 multiply, so routing buys nothing.
+    """
+    if (R.shape[-1] > 512 and R.dtype == jnp.float32
+            and jax.default_backend() == 'tpu'):
+        return _blocked_chol(R)
+    return jnp.linalg.cholesky(R)
+
+
+_CHOL_ENGINES = {'auto': _auto_chol, 'xla': jnp.linalg.cholesky,
+                 'blocked': _blocked_chol}
+
+
+def _resolve_chol_fn(engine):
+    """Maps a ``chol_engine`` name ('auto' | 'xla' | 'blocked') to the
+    Cholesky callable used by the lml/fit/predict closures."""
+    try:
+        return _CHOL_ENGINES[engine]
+    except KeyError:
+        raise ValueError('chol_engine must be one of %s, got %r'
+                         % (sorted(_CHOL_ENGINES), engine))
 
 
 def _safe_sqrt_R(R_reg, decomposition, chol_fn=None):
@@ -777,7 +824,7 @@ class ConjugateStudentProcess(BaseConjugateProcess):
                 R_no = self.kernel_(X, Xc)
                 kk = self.kernel_(Xc) + self.nugget * jnp.eye(Xc.shape[0])
                 if decomp == 'cholesky':
-                    sqrt_R = jnp.linalg.cholesky(kk)
+                    sqrt_R = _resolve_chol_fn(self.chol_engine)(kk)
                 elif decomp == 'eig':
                     sqrt_R = eigh_sqrt(kk)
                 else:
@@ -1148,47 +1195,32 @@ class TruncationPointwise:
     excluded : int or array, optional — orders excluded everywhere
     """
 
+    # fitted attributes (trailing underscore = the reference's public
+    # compat surface; populated by fit(), None before)
+    _FITTED_ATTRS = ('y_', 'ratio_', 'ref_', 'orders_', 'orders_mask_',
+                     '_orders_masked', 'coeffs_', 'coeffs_dist_', 'df_',
+                     'scale_', 'y_masked_', 'dist_')
+
     def __init__(self, df=1, scale=1, excluded=None):
-        self.df0 = df
-        self.scale0 = scale
-        self.excluded = excluded
-
+        self.df0, self.scale0, self.excluded = df, scale, excluded
         self._fit = False
-        self.y_ = None
-        self.ratio_ = None
-        self.ref_ = None
-        self.orders_ = None
-        self.orders_mask_ = None
-        self._orders_masked = None
-        self.coeffs_ = None
-        self.coeffs_dist_ = None
-        self.df_ = None
-        self.scale_ = None
-        self.y_masked_ = None
-        self.dist_ = None
-
-    @classmethod
-    def _compute_df(cls, c, df0):
-        return df0 + c.shape[-1]
-
-    @classmethod
-    def _compute_scale(cls, c, df0, scale0):
-        c_sq = (c ** 2).sum(-1)
-        df = cls._compute_df(c, df0)
-        return jnp.sqrt((df0 * scale0 ** 2 + c_sq) / df)
+        for name in self._FITTED_ATTRS:
+            setattr(self, name, None)
 
     @staticmethod
-    def _num_orders(y):
-        if y.ndim == 1:
-            return 1
-        elif y.ndim == 2:
-            return y.shape[-1]
+    def _posterior_nu_tau(c, df0, scale0):
+        """Conjugate scaled-inverse-χ² update of (ν, τ) from the masked
+        coefficient table c (N, m): ν = ν₀ + m and ν τ² = ν₀ τ₀² + Σ_n c_n²
+        (Melendez et al. Eq. 26; reference models.py:1623-1631)."""
+        nu = df0 + c.shape[-1]
+        tau = jnp.sqrt((df0 * scale0 ** 2 + jnp.sum(c * c, axis=-1)) / nu)
+        return nu, tau
 
     def _compute_order_indices(self, orders):
         if orders is None:
             return slice(None)
-        orders = np.atleast_1d(orders)
-        return np.squeeze([np.nonzero(self._orders_masked == order) for order in orders])
+        fitted = np.asarray(self._orders_masked)
+        return np.squeeze([np.nonzero(fitted == k) for k in np.atleast_1d(orders)])
 
     def fit(self, y, ratio, ref=1, orders=None):
         """Conjugate update of (ν, τ) and construction of the pointwise
@@ -1214,8 +1246,8 @@ class TruncationPointwise:
         self.orders_ = orders
         self.orders_mask_ = orders_mask = ~np.isin(orders, self.excluded)
         self.coeffs_ = coefficients(y=y, ratio=ratio, ref=ref, orders=orders)[:, orders_mask]
-        self.df_ = self._compute_df(c=self.coeffs_, df0=self.df0)
-        self.scale_ = self._compute_scale(c=self.coeffs_, df0=self.df0, scale0=self.scale0)
+        self.df_, self.scale_ = self._posterior_nu_tau(
+            self.coeffs_, self.df0, self.scale0)
 
         self.y_masked_ = y[:, orders_mask]
         self._orders_masked = orders_masked = orders[orders_mask]
@@ -1260,7 +1292,7 @@ class TruncationPointwise:
         reference: models.py:1755-1797; the scale-invariant prior ν₀=0 drops
         its (infinite-constant) normalization exactly as in the reference.
         """
-        from jax.scipy.special import gammaln
+        from scipy.special import gammaln
 
         if not self._fit:
             raise ValueError('Must call fit before calling log_likelihood')
@@ -1274,15 +1306,17 @@ class TruncationPointwise:
         y, orders, mask = self.y_, self.orders_, self.orders_mask_
         coeffs = coefficients(y=y, ratio=ratio, ref=ref, orders=orders)[:, mask]
         df0, scale0 = self.df0, self.scale0
-        df = self._compute_df(c=coeffs, df0=df0)
-        scale = self._compute_scale(c=coeffs, df0=df0, scale0=scale0)
+        nu, tau = self._posterior_nu_tau(coeffs, df0, scale0)
 
-        n = self._num_orders(coeffs)
-        log_like = gammaln(df / 2.) - 0.5 * n * _LOG_2PI
-        if df0 > 0:  # Ignore the infinite constant for the scale-invariant prior df0 == 0
-            log_like += 0.5 * jnp.sum(df0 * jnp.log(df0 * scale0 ** 2 / 2.)) \
-                - gammaln(df0 / 2.)
-        log_like -= 0.5 * jnp.sum(df * jnp.log(df * scale ** 2 / 2.))
+        # prior-over-posterior normalizer ratio; nu/df0/scale0 are concrete
+        # host floats, so their transcendentals run on the host (a 0-d
+        # device op would constant-fold at f32 on this TPU)
+        n = coeffs.shape[-1]
+        log_like = float(gammaln(nu / 2.)) - 0.5 * n * _LOG_2PI
+        if df0 > 0:  # the scale-invariant prior df0=0 drops its normalization
+            log_like += 0.5 * df0 * float(np.log(df0 * scale0 ** 2 / 2.)) \
+                - float(gammaln(df0 / 2.))
+        log_like -= 0.5 * jnp.sum(nu * jnp.log(nu * tau ** 2 / 2.))
         log_like -= jnp.sum(jnp.log(jnp.abs(ref))
                             + np.sum(orders[mask]) * jnp.log(ratio))
         return log_like

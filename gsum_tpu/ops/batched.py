@@ -80,9 +80,9 @@ def batched_mvn_logpdf(K, diff):
     return _logpdf_from_chol(L, diff)
 
 
-@partial(jax.jit, static_argnames=('method', 'precision'))
+@partial(jax.jit, static_argnames=('method', 'precision', 'diag'))
 def batched_chol_logpdf(X, y, length_scale, amplitude, noise, method='auto',
-                        precision=jax.lax.Precision.HIGHEST):
+                        precision=jax.lax.Precision.HIGHEST, diag='auto'):
     R"""Fused pipeline: covariance build → Cholesky → MVN logpdf.
 
     The benchmark configuration of BASELINE.json: every argument may carry
@@ -118,7 +118,8 @@ def batched_chol_logpdf(X, y, length_scale, amplitude, noise, method='auto',
     if method == 'blocked':
         # batch-leading (NOT vmapped: the small-chol leaf scatters would
         # vectorize badly under vmap; these ops take the batch directly)
-        w, logdet = blocked_chol_solve_logdet(K, y, precision=precision)
+        w, logdet = blocked_chol_solve_logdet(K, y, precision=precision,
+                                              diag=diag)
         maha = jnp.sum(w * w, axis=-2)
         return -0.5 * (maha + logdet[..., None] + N * _LOG_2PI)
     L = jnp.linalg.cholesky(K)

@@ -55,11 +55,15 @@ def _diag_engine(K, block, diag):
 
 
 def _factor_diag(Akk, leaf, engine):
-    """(L, Minv) of a (B, block, block) SPD diagonal block."""
-    if engine == 'pallas':
+    """(L, Minv) of a (B, block, block) SPD diagonal block.
+
+    'pallas' unrolls the kernel's serial rank-1 loops (fastest on chip);
+    'pallas_fori' keeps them as fori_loops (smaller compile, for A/B).
+    """
+    if engine in ('pallas', 'pallas_fori'):
         from .pallas_chol import chol_inv_block
 
-        return chol_inv_block(Akk)
+        return chol_inv_block(Akk, unroll=(engine != 'pallas_fori'))
     L = _cholesky_raw(Akk, leaf)
     return L, _tri_inv_raw(L, leaf)
 
@@ -70,22 +74,26 @@ def _blocked_factor(K, block, leaf, precision, engine):
     Returns (L, minvs): the factor and the list of diagonal-block
     inverses (for TRSMs / the blocked solve).  Requires N % block == 0
     (callers pad).
+
+    L lives in ONE buffer updated in place: each step's history GEMM
+    reads static slices of it (fused into the GEMM operand reads) and
+    the finished column lands via an aliasable in-place slice update.
+    The earlier concatenate-the-finished-columns formulation re-staged
+    ~2.9 GB of cumulative copy traffic at (16, 4096) — ~17 ms of the
+    41.6 ms factorization (docs/perf.md round-2 roofline).
     """
-    B_dims = K.shape[:-2]
     N = K.shape[-1]
     nb = N // block
 
-    cols = []            # finished column blocks, cols[k]: (..., N-k*b, b)
+    L = jnp.zeros_like(K)
     minvs = []
     for k in range(nb):
         s = k * block
         A_col = K[..., s:, s:s + block]             # (..., N-s, b)
         if k:
             # one GEMM against all finished columns: rows s:, cols :s
-            L_left = jnp.concatenate(
-                [c[..., (s - (j * block)):, :] for j, c in enumerate(cols)],
-                axis=-1)                             # (..., N-s, s)
-            L_row = L_left[..., :block, :]           # (..., b, s)
+            L_left = L[..., s:, :s]                  # (..., N-s, s)
+            L_row = L[..., s:s + block, :s]          # (..., b, s)
             A_col = A_col - jnp.matmul(
                 L_left, jnp.swapaxes(L_row, -1, -2), precision=precision)
         Lkk, Minv = _factor_diag(A_col[..., :block, :], leaf, engine)
@@ -93,14 +101,11 @@ def _blocked_factor(K, block, leaf, precision, engine):
         if k < nb - 1:
             Lp = jnp.matmul(A_col[..., block:, :],
                             jnp.swapaxes(Minv, -1, -2), precision=precision)
-            cols.append(jnp.concatenate([Lkk, Lp], axis=-2))
+            col = jnp.concatenate([Lkk, Lp], axis=-2)
         else:
-            cols.append(Lkk)
-
-    full = [jnp.concatenate(
-        [jnp.zeros(B_dims + (k * block, block), K.dtype), c], axis=-2)
-        for k, c in enumerate(cols)]
-    return jnp.concatenate(full, axis=-1), minvs
+            col = Lkk
+        L = L.at[..., s:, s:s + block].set(col)
+    return L, minvs
 
 
 def _pad_spd(K, block):
@@ -214,16 +219,15 @@ def blocked_chol_solve_logdet(K, Y, block=256, leaf=32,
     L, minvs = _blocked_factor(Kp, block, leaf, precision, engine)
 
     nb = Kp.shape[-1] // block
-    ws = []
+    w = jnp.zeros_like(Y)
     for k in range(nb):
         s = k * block
         rhs = Y[..., s:s + block, :]
         if k:
-            W_prev = jnp.concatenate(ws, axis=-2)          # (..., s, m)
             L_row = L[..., s:s + block, :s]                # (..., b, s)
-            rhs = rhs - jnp.matmul(L_row, W_prev, precision=precision)
-        ws.append(jnp.matmul(minvs[k], rhs, precision=precision))
-    w = jnp.concatenate(ws, axis=-2)
+            rhs = rhs - jnp.matmul(L_row, w[..., :s, :], precision=precision)
+        w = w.at[..., s:s + block, :].set(
+            jnp.matmul(minvs[k], rhs, precision=precision))
     if pad:
         w = w[..., :N, :]
         L = L[..., :N, :N]

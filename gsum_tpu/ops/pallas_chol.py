@@ -39,10 +39,24 @@ from .. import _config  # noqa: F401
 __all__ = ['chol_inv_block']
 
 
-def _make_kernel(nb, pb):
-    """Kernel factory: nb = block size, pb = panel width (static)."""
+def _make_kernel(nb, pb, unroll=False):
+    """Kernel factory: nb = block size, pb = panel width (static).
+
+    ``unroll=True`` replaces the two pb-step ``fori_loop``s with Python
+    loops: the serial rank-1 work is loop-overhead-bound (each step is a
+    handful of vector ops on a (G, pb, pb) slab), so paying compile size
+    for zero per-step loop control is a measurable win on the chip.
+    """
     npan = nb // pb
     _HI = jax.lax.Precision.HIGHEST
+
+    def _loop(n, body, init):
+        if not unroll:
+            return jax.lax.fori_loop(jnp.int32(0), jnp.int32(n), body, init)
+        carry = init
+        for jj in range(n):
+            carry = body(jnp.int32(jj), carry)
+        return carry
 
     def kernel(a_ref, l_ref, m_ref):
         import jax.lax as lax
@@ -79,8 +93,7 @@ def _make_kernel(nb, pb):
                 Ld = jnp.where(bc(cmask, Ld.shape), col[:, :, None], Ld)
                 D = D - col[:, :, None] * col[:, None, :]
                 return D, Ld
-            return lax.fori_loop(jnp.int32(0), jnp.int32(pb), stp,
-                                 (D, jnp.zeros_like(D)))[1]
+            return _loop(pb, stp, (D, jnp.zeros_like(D)))[1]
 
         def small_inv(Ld):
             """(G, pb, pb) lower-triangular inverse by substitution."""
@@ -95,8 +108,7 @@ def _make_kernel(nb, pb):
                 acc = jnp.sum(Lrow_lt[:, :, None] * M, axis=1)  # (G, pb)
                 Mrow = (dmask.astype(dt) - acc) / d[:, None]
                 return jnp.where(bc(rmask, M.shape), Mrow[:, None, :], M)
-            return lax.fori_loop(jnp.int32(0), jnp.int32(pb), stp,
-                                 jnp.zeros_like(Ld))
+            return _loop(pb, stp, jnp.zeros_like(Ld))
 
         # ---------------- factorization, panel by panel ----------------
         # Finished column blocks stream straight into l_ref (static-slice
@@ -151,8 +163,8 @@ def _make_kernel(nb, pb):
     return kernel
 
 
-@partial(jax.jit, static_argnames=('chunk', 'panel', 'interpret'))
-def chol_inv_block(A, chunk=6, panel=32, interpret=False):
+@partial(jax.jit, static_argnames=('chunk', 'panel', 'interpret', 'unroll'))
+def chol_inv_block(A, chunk=6, panel=32, interpret=False, unroll=True):
     R"""Cholesky factor and its inverse for a batch of SPD blocks.
 
     Parameters
@@ -164,6 +176,8 @@ def chol_inv_block(A, chunk=6, panel=32, interpret=False):
         16 MB limit with headroom even inside larger fused programs
     panel : in-kernel panel width (multiple of the 8-sublane tile)
     interpret : run in Pallas interpreter mode (for CPU tests)
+    unroll : unroll the per-panel rank-1 loops (default True — the serial
+        steps are loop-overhead-bound on the chip; see ``_make_kernel``)
 
     Returns
     -------
@@ -189,7 +203,7 @@ def chol_inv_block(A, chunk=6, panel=32, interpret=False):
                         lambda i: (i, np.int32(0), np.int32(0)),
                         memory_space=pltpu.VMEM)
     L, M = pl.pallas_call(
-        _make_kernel(nb, panel),
+        _make_kernel(nb, panel, unroll),
         grid=(grid,),
         in_specs=[spec],
         out_specs=(spec, spec),

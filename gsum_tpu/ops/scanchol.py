@@ -108,7 +108,7 @@ def scan_blocked_cholesky(A, block=64, leaf=16):
 
 
 @partial(jax.jit, static_argnames=('block',))
-def scan_cho_solve(L, minvs, B, block=64):
+def scan_cho_solve(L, minvs, B, block=None):
     R"""Solves ``L L^T X = B`` using the scan factor and its diagonal-block
     inverses — every step is a batched GEMM, compile size O(1) in N.
 
@@ -117,7 +117,15 @@ def scan_cho_solve(L, minvs, B, block=64):
     L : (G, N, N) lower factor from :func:`scan_blocked_cholesky`
     minvs : (nb, G, block, block) diagonal-block inverses
     B : (G, N, m) right-hand sides
+    block : inferred from ``minvs`` (its trailing dimension); passing it
+        explicitly is allowed but must agree — a mismatch used to surface
+        as an opaque shape/padding error downstream.
     """
+    if block is None:
+        block = minvs.shape[-1]
+    elif block != minvs.shape[-1]:
+        raise ValueError('block=%d does not match the factorization block '
+                         '%d (minvs.shape[-1])' % (block, minvs.shape[-1]))
     L = jnp.asarray(L)
     B = jnp.asarray(B)
     G, N0, m = B.shape

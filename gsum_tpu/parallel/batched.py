@@ -534,8 +534,6 @@ def pointwise_evidence_grid(y, orders, ratios, ref=1, df=1, scale=1,
     (R,) array: log p(y | ratio_r), matching
     ``TruncationPointwise(df, scale, excluded).fit(y, ...).log_likelihood``
     """
-    from jax.scipy.special import gammaln
-
     y = jnp.asarray(y)
     if y.ndim == 1:
         y = y[:, None]
@@ -565,7 +563,10 @@ def pointwise_evidence_grid(y, orders, ratios, ref=1, df=1, scale=1,
         scale_sq = (df0 * scale0 ** 2
                     + jnp.sum(coeffs * coeffs, axis=-1)) / df_post  # (R, N)
 
-        ll = gammaln(df_post / 2.) - 0.5 * m * _np_log_2pi
+        # df_post is a concrete Python float — evaluate its gammaln on the
+        # host: a device-side 0-d transcendental constant-folds at f32 on
+        # this TPU (see CLAUDE.md), a ~1e-7 offset CPU tests cannot catch.
+        ll = float(_sc_gammaln(df_post / 2.)) - 0.5 * m * _np_log_2pi
         if df0 > 0:  # scale-invariant prior df0=0 drops its normalization
             ll += 0.5 * df0 * float(np.log(df0 * scale0 ** 2 / 2.)) \
                 - float(_sc_gammaln(df0 / 2.))

@@ -234,3 +234,47 @@ def test_md_box_and_violin_render(graphical):
                         gp=gm.ConjugateGaussianProcess(
                             kernel=gm.RBF(0.3, 'fixed'), nugget=1e-8))
     plt.close('all')
+
+
+# ----------------------------------------------------------------------
+# Batched KL diagnostic (r2 verdict #5): the nref reference-draw refits
+# run as device batches; parity against the per-draw refit loop.
+# ----------------------------------------------------------------------
+def test_kl_batched_matches_loop_fixed_kernel():
+    """Fixed kernel → the shared-factorization closed-form path; must
+    reproduce the refit loop exactly (same conjugate updates)."""
+    g = gm.GraphicalDiagnostic(data, mean, cov, nref=6)
+    gp = gm.ConjugateGaussianProcess(kernel=gm.RBF(0.3, 'fixed'),
+                                     nugget=1e-8)
+    X = np.linspace(0, 1, N)[:, None]
+    for predict in (False, True):
+        d_b, r_b = g.kl_data(X, gp, predict=predict, engine='batched')
+        d_l, r_l = g.kl_data(X, gp, predict=predict, engine='loop')
+        np.testing.assert_allclose(d_b, d_l, rtol=1e-8, atol=1e-10)
+        np.testing.assert_allclose(r_b, r_l, rtol=1e-8, atol=1e-10)
+    # 'auto' picks the batched path for this gp
+    assert g._kl_batchable(gp)
+
+
+def test_kl_batched_matches_loop_free_kernel():
+    """Free kernel → one lockstep batched MAP fit; the optima agree with
+    scipy's per-fit L-BFGS to optimizer tolerance."""
+    g = gm.GraphicalDiagnostic(data, mean, cov, nref=4)
+    gp = gm.ConjugateGaussianProcess(kernel=gm.RBF(0.5, (1e-2, 1e2)),
+                                     nugget=1e-8)
+    X = np.linspace(0, 1, N)[:, None]
+    d_b, r_b = g.kl_data(X, gp, engine='batched')
+    d_l, r_l = g.kl_data(X, gp, engine='loop')
+    # KL values are O(1-100); optimizer-path differences show up in the
+    # 4th-5th significant digit of theta, so compare loosely but tightly
+    # enough to catch a wrong fit/evaluation
+    np.testing.assert_allclose(d_b, d_l, rtol=2e-2, atol=1e-3)
+    np.testing.assert_allclose(r_b, r_l, rtol=2e-2, atol=1e-3)
+
+
+def test_kl_batched_rejects_unbatchable():
+    g = gm.GraphicalDiagnostic(data, mean, cov, nref=3)
+    tp = gm.ConjugateStudentProcess(kernel=gm.RBF(0.3, 'fixed'))
+    X = np.linspace(0, 1, N)[:, None]
+    with pytest.raises(ValueError):
+        g.kl_data(X, tp, engine='batched')
