@@ -131,7 +131,8 @@ def _get_grid_fn(kernel, center, disp, df, scale, nugget, grid_engine):
 
 
 def batched_lml_grid(kernel, X, y, thetas, center=0, disp=0, df=1, scale=1,
-                     nugget=1e-10, mesh=None, basis=None, engine='auto'):
+                     nugget=1e-10, mesh=None, basis=None, engine='auto',
+                     precision='f64', top_k=64):
     R"""Log-marginal likelihood over a grid of kernel hyperparameters.
 
     For N <= 256 this runs the explicitly-batched evaluator
@@ -154,11 +155,45 @@ def batched_lml_grid(kernel, X, y, thetas, center=0, disp=0, df=1, scale=1,
     basis : None | callable | (N, q) array — mean basis (None = constant
         ones, the reference default); ``center``/``disp`` must be shaped
         for q basis columns
+    precision : 'f64' | 'f32' | 'mixed' — arithmetic width.  Emulated f64
+        multiplies run ~30x slower than f32 on this TPU (docs/perf.md), so
+        'mixed' sweeps the whole grid at f32 and re-evaluates the f32
+        top-``top_k`` points at f64: those entries are *exactly* the f64
+        values.  Error bound: an f32 lml carries ~eps32·κ(R_θ) relative
+        error (κ bounded by λmax/nugget), so off-peak entries at
+        ill-conditioned θ (long length scales, tiny nuggets) can be
+        visibly off while the peak region — where the posterior mass is,
+        and where κ is moderate — is both f32-ranked correctly and
+        f64-polished.  Use 'mixed' whenever the grid feeds a MAP choice
+        or a peak-region posterior; keep 'f64' when the far tails of the
+        surface must be quadrature-grade.
+    top_k : int — number of best f32 points polished at f64 in 'mixed'
 
     Returns
     -------
     (G,) array of log-marginal likelihoods
     """
+    if precision not in ('f64', 'f32', 'mixed'):
+        raise ValueError("precision must be 'f64', 'f32', or 'mixed'")
+    if precision == 'mixed':
+        vals32 = batched_lml_grid(kernel, X, y, thetas, center, disp, df,
+                                  scale, nugget, mesh, basis, engine,
+                                  precision='f32')
+        thetas = jnp.asarray(thetas)
+        G = thetas.shape[0]
+        k = min(int(top_k), G)
+        idx = np.argsort(np.asarray(vals32))[-k:]
+        vals64 = batched_lml_grid(kernel, X, y, thetas[idx], center, disp,
+                                  df, scale, nugget, mesh, basis, engine,
+                                  precision='f64')
+        out = jnp.asarray(np.asarray(vals32),
+                          dtype=jnp.result_type(float))
+        return out.at[jnp.asarray(idx)].set(jnp.asarray(vals64, out.dtype))
+    if precision == 'f32':
+        X = jnp.asarray(np.asarray(X), dtype=jnp.float32)
+        y = jnp.asarray(np.asarray(y), dtype=jnp.float32)
+        thetas = jnp.asarray(np.asarray(thetas), dtype=jnp.float32)
+
     X = jnp.atleast_2d(jnp.asarray(X))
     y = jnp.asarray(y)
     y2 = y[:, None] if y.ndim == 1 else y
@@ -217,7 +252,7 @@ def _fit_one(lml_fn, value_fn, theta0, lower, upper, X, y2, basis,
 def batched_fit(kernel, X, y_batch, center=0, disp=0, df=1, scale=1,
                 nugget=1e-10, maxiter=100, theta0=None, mesh=None,
                 n_restarts=0, seed=0, chunk=128, basis=None, engine='auto',
-                ls_steps=10):
+                ls_steps=10, precision='f64', polish_iters=15):
     R"""MAP-fit a ConjugateGaussianProcess independently to each batch element.
 
     Replaces Python loops of ``gp.fit`` (e.g. the KL diagnostic's 1000
@@ -255,10 +290,49 @@ def batched_fit(kernel, X, y_batch, center=0, disp=0, df=1, scale=1,
         (None = constant ones, the reference default); ``center``/``disp``
         must match its column count
 
+    precision : 'f64' | 'f32' | 'mixed' — 'mixed' runs the whole lockstep
+        L-BFGS sweep (restarts included) at f32 — ~30x cheaper per
+        multiply than emulated f64 on this TPU — then polishes each fit
+        with ``polish_iters`` f64 L-BFGS steps started from its own f32
+        optimum and computes the final posterior state at f64.  The f32
+        optimum is within ~sqrt(eps32)≈3e-4 of the f64 MAP in theta for
+        well-conditioned objectives, which the f64 polish then closes;
+        single-device path only.
+    polish_iters : int — f64 polish steps per fit in 'mixed'
+
     Returns
     -------
     BatchedPosterior with leading batch dimension B
     """
+    if precision not in ('f64', 'f32', 'mixed'):
+        raise ValueError("precision must be 'f64', 'f32', or 'mixed'")
+    if precision == 'mixed':
+        if mesh is not None:
+            raise ValueError("precision='mixed' is single-device only "
+                             "(shard the f32 sweep and polish separately)")
+        post32 = batched_fit(kernel, np.asarray(X, dtype=np.float32),
+                             np.asarray(y_batch, dtype=np.float32),
+                             center, disp, df, scale, nugget, maxiter,
+                             theta0, None, n_restarts, seed, chunk, basis,
+                             engine, ls_steps, precision='f32')
+        dtype64 = jnp.result_type(float)
+        X64 = jnp.atleast_2d(jnp.asarray(X, dtype=dtype64))
+        y64 = jnp.asarray(y_batch, dtype=dtype64)
+        if y64.ndim == 2:
+            y64 = y64[:, :, None]
+        basis64 = _resolve_basis(basis, X64)
+        bounds = np.asarray(kernel.bounds, dtype=float)
+        t0_pf = jnp.asarray(np.asarray(post32.theta), dtype=dtype64)
+        return _batched_fit_wide(
+            kernel.clone(), X64, y64, basis64, t0_pf[:1], # starts unused
+            jnp.asarray(bounds[:, 0], dtype64),
+            jnp.asarray(bounds[:, 1], dtype64),
+            np.atleast_1d(center), np.atleast_2d(disp), df, scale, nugget,
+            polish_iters, chunk, engine, ls_steps, t0_per_fit=t0_pf)
+    if precision == 'f32':
+        X = np.asarray(X, dtype=np.float32)
+        y_batch = np.asarray(y_batch, dtype=np.float32)
+
     lml = make_lml_fn(kernel, center, disp, df, scale, nugget)
     frozen = kernel.clone()
     X = jnp.atleast_2d(jnp.asarray(X))
@@ -313,7 +387,7 @@ def batched_fit(kernel, X, y_batch, center=0, disp=0, df=1, scale=1,
 
 def _batched_fit_wide(frozen, X, y_batch, basis, starts, lower, upper,
                       c0, V0, df0, scale0, nugget, maxiter, chunk,
-                      engine='auto', ls_steps=10):
+                      engine='auto', ls_steps=10, t0_per_fit=None):
     from ..ops.gridlml import cgp_lml_grid
     from .. import conjugate as _conj2
 
@@ -384,8 +458,13 @@ def _batched_fit_wide(frozen, X, y_batch, basis, starts, lower, upper,
 
     run = jax.jit(run_chunk)
 
-    # fold restarts into the batch axis
-    if Rstarts > 1:
+    # fold restarts into the batch axis; t0_per_fit (the mixed-precision
+    # polish) gives every fit its own start instead
+    if t0_per_fit is not None:
+        Rstarts = 1
+        Ys_all = y_batch
+        T0_all = jnp.asarray(t0_per_fit)
+    elif Rstarts > 1:
         Ys_all = jnp.repeat(y_batch, Rstarts, axis=0)
         T0_all = jnp.tile(starts, (B, 1))
     else:

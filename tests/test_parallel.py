@@ -371,3 +371,58 @@ def test_sharded_kernel_lml_small_grid(mesh8):
     want = -0.5 * (w @ w + 2 * np.sum(np.log(np.diag(L)))
                    + N * np.log(2 * np.pi))
     np.testing.assert_allclose(np.squeeze(lml), want, rtol=1e-9)
+
+
+# ----------------------------------------------------------------------
+# Mixed-precision recipe (r2 verdict #7): f32 sweep -> f64 polish
+# ----------------------------------------------------------------------
+def test_lml_grid_mixed_precision():
+    """'mixed' equals the f64 grid exactly on the polished top-k set
+    (argmax included) and to f32 accuracy elsewhere."""
+    kernel = gm.RBF(0.8, (1e-2, 1e2))
+    thetas = np.linspace(-2, 1, 40)[:, None]
+    Xg = np.linspace(0, 1, 30)[:, None]
+    rng = np.random.RandomState(6)
+    yg = np.sin(3 * Xg[:, 0]) + 0.1 * rng.randn(30)
+
+    v64 = np.asarray(batched_lml_grid(kernel, Xg, yg, thetas, df=3,
+                                      scale=1.0, nugget=1e-6))
+    v32 = np.asarray(batched_lml_grid(kernel, Xg, yg, thetas, df=3,
+                                      scale=1.0, nugget=1e-6,
+                                      precision='f32'))
+    vmx = np.asarray(batched_lml_grid(kernel, Xg, yg, thetas, df=3,
+                                      scale=1.0, nugget=1e-6,
+                                      precision='mixed', top_k=8))
+    assert vmx.dtype == np.float64
+    assert np.argmax(vmx) == np.argmax(v64)
+    # the polished set is the f32 top-k; those entries are f64 verbatim
+    top32 = np.argsort(v32)[-8:]
+    np.testing.assert_allclose(vmx[top32], v64[top32], rtol=1e-13)
+    # the f64 peak itself is inside the polished set
+    assert np.argmax(v64) in top32
+    # off-peak entries are the f32 sweep (error ~ eps32*kappa(R_theta),
+    # see the docstring — NOT uniformly small for ill-conditioned theta)
+    rest = np.setdiff1d(np.arange(len(thetas)), top32)
+    np.testing.assert_allclose(vmx[rest], v32[rest].astype(np.float64),
+                               rtol=1e-13)
+
+
+def test_batched_fit_mixed_precision():
+    """'mixed' fits: f32 lockstep sweep + f64 polish lands on the f64 MAP
+    with a full-f64 posterior state."""
+    rng = np.random.RandomState(7)
+    B = 3
+    y_batch = np.stack([y + 0.1 * rng.randn(len(y)) for _ in range(B)],
+                       axis=0)
+    kernel = gm.RBF(1.0, (1e-2, 1e2))
+    p64 = batched_fit(kernel, X, y_batch, df=3, scale=1.0, maxiter=100)
+    pmx = batched_fit(kernel, X, y_batch, df=3, scale=1.0, maxiter=100,
+                      precision='mixed', polish_iters=25)
+    assert np.asarray(pmx.theta).dtype == np.float64
+    assert np.asarray(pmx.chol).dtype == np.float64
+    np.testing.assert_allclose(np.asarray(pmx.theta), np.asarray(p64.theta),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(pmx.lml), np.asarray(p64.lml),
+                               rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(pmx.cov_factor),
+                               np.asarray(p64.cov_factor), rtol=1e-4)
