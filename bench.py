@@ -40,8 +40,43 @@ def flops_chol_logpdf(B, N, d, m):
     return cov + chol + solve
 
 
-def bench_tpu(B, N, d, m, iters=4, repeats=3):
+def _timed_carry_loop(step, consts, iters=4, repeats=3):
+    """Seconds per iteration of `iters` carry-dependent applications of
+    ``step`` inside one jitted call, with the host-fetch floor subtracted
+    (see module docstring for why both matter on this box)."""
     import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(c, *cs):
+        return jnp.sum(jax.lax.fori_loop(
+            0, iters, lambda i, c: step(c, *cs), c)[:1, :1])
+
+    @jax.jit
+    def floor_run(c, *cs):
+        return jnp.sum(c[:1, :1])
+
+    c0 = jnp.zeros((8, 8), dtype=jnp.float32)
+    s = float(np.asarray(run(c0, *consts)))       # compile + warmup
+    assert np.isfinite(s), 'non-finite benchmark output'
+    float(np.asarray(floor_run(c0, *consts)))
+
+    floors = []
+    for _ in range(repeats + 2):
+        t0 = time.perf_counter()
+        float(np.asarray(floor_run(c0, *consts)))
+        floors.append(time.perf_counter() - t0)
+    floor = min(floors)
+
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        float(np.asarray(run(c0, *consts)))
+        times.append(time.perf_counter() - t0)
+    return max(min(times) - floor, 1e-9) / iters
+
+
+def bench_tpu(B, N, d, m, iters=4, repeats=3, method='blocked'):
     import jax.numpy as jnp
 
     from gsum_tpu.ops import batched_chol_logpdf
@@ -50,41 +85,71 @@ def bench_tpu(B, N, d, m, iters=4, repeats=3):
     X = jnp.asarray(rng.rand(B, N, d), dtype=jnp.float32)
     y = jnp.asarray(rng.randn(B, N, m), dtype=jnp.float32)
 
-    @jax.jit
-    def run(c, X_, y_):
-        def body(i, c):
-            # carry -> input data edge: an invariant body could legally
-            # be hoisted out of the fori_loop, timing 1 execution as
-            # `iters` (the perturbation is exactly 0 in f32 arithmetic)
-            Xc = X_ + (1e-30 * jnp.sum(c)).astype(X_.dtype)
-            out = batched_chol_logpdf(Xc, y_, 0.25, 1.0, 1e-2,
-                                      method='blocked')
-            return c + 1e-6 * jnp.sum(out) * jnp.ones_like(c)
-        return jnp.sum(jax.lax.fori_loop(0, iters, body, c)[:1, :1])
+    def step(c, X_, y_):
+        # carry -> input data edge: an invariant body could legally
+        # be hoisted out of the fori_loop, timing 1 execution as
+        # `iters` (the perturbation is exactly 0 in f32 arithmetic)
+        Xc = X_ + (1e-30 * jnp.sum(c)).astype(X_.dtype)
+        out = batched_chol_logpdf(Xc, y_, 0.25, 1.0, 1e-2, method=method)
+        return c + 1e-6 * jnp.sum(out) * jnp.ones_like(c)
 
-    @jax.jit
-    def floor_run(c, X_, y_):
-        return jnp.sum(c[:1, :1])
+    dt = _timed_carry_loop(step, (X, y), iters, repeats)
+    return flops_chol_logpdf(B, N, d, m) / dt / 1e9, dt
 
-    c0 = jnp.zeros((8, 8), dtype=jnp.float32)
-    s = float(np.asarray(run(c0, X, y)))          # compile + warmup
-    assert np.isfinite(s), 'non-finite logpdf'
-    float(np.asarray(floor_run(c0, X, y)))
 
-    floors = []
-    for _ in range(repeats + 2):
-        t0 = time.perf_counter()
-        float(np.asarray(floor_run(c0, X, y)))
-        floors.append(time.perf_counter() - t0)
-    floor = min(floors)
+def bench_grid_lml(N=256, G=512, dtype='float32', iters=4):
+    """Steady-state µs per lml evaluation of the hyperparameter-grid
+    engine (docs/perf.md small-N table, driver-guarded)."""
+    import jax.numpy as jnp
 
-    times = []
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        float(np.asarray(run(c0, X, y)))
-        times.append(time.perf_counter() - t0)
-    dt = max(min(times) - floor, 1e-9) / iters
-    return flops_chol_logpdf(B, N, d, m) / dt / 1e9
+    from gsum_tpu.kernels import RBF
+    from gsum_tpu.ops.gridlml import cgp_lml_grid
+
+    dt_ = jnp.float64 if dtype == 'float64' else jnp.float32
+    rng = np.random.RandomState(2)
+    X = jnp.asarray(np.linspace(0, 1, N)[:, None], dtype=dt_)
+    y = jnp.asarray(rng.randn(N, 1), dtype=dt_)
+    kernel = RBF(0.3, (1e-2, 1e2))
+    frozen = kernel.clone()
+    thetas = jnp.asarray(np.linspace(-2, 0.5, G)[:, None], dtype=dt_)
+    basis = jnp.ones((N, 1), dtype=dt_)
+    c0 = np.atleast_1d(0.0)
+    V0 = np.atleast_2d(0.0)
+    import jax
+
+    def step(c, ths, X_, y_):
+        ths = ths + (1e-30 * jnp.sum(c)).astype(ths.dtype)
+        Rs = jax.vmap(lambda th: frozen.value_fn(th, X_, None))(ths)
+        Rs = Rs + 1e-6 * jnp.eye(N, dtype=Rs.dtype)
+        Rs = jax.lax.optimization_barrier(Rs)
+        out = cgp_lml_grid(Rs, y_, basis, c0, V0, 3.0, 1.0)
+        return c + 1e-6 * jnp.sum(out).astype(jnp.float32) * jnp.ones_like(c)
+
+    dt = _timed_carry_loop(step, (thetas, X, y), iters=iters)
+    return dt / G * 1e6  # µs per evaluation
+
+
+def bench_16k(iters=2):
+    """Single-matrix N=16,384 cov build + blocked Cholesky, ms."""
+    import jax
+    import jax.numpy as jnp
+
+    from gsum_tpu.ops.batched import rbf_covariance
+    from gsum_tpu.ops.blockchol import batched_blocked_cholesky
+
+    N16, d = 16384, 2
+    rng = np.random.RandomState(3)
+    X16 = jnp.asarray(rng.rand(1, N16, d), dtype=jnp.float32)
+
+    def step(c, X_):
+        Xc = X_ + (1e-30 * jnp.sum(c)).astype(X_.dtype)
+        K = jax.vmap(rbf_covariance)(
+            Xc, jnp.full((1,), 0.25, jnp.float32),
+            jnp.ones((1,), jnp.float32), jnp.full((1,), 1e-2, jnp.float32))
+        L = batched_blocked_cholesky(K, block=512)
+        return c + 1e-6 * jnp.sum(L) * jnp.ones_like(c)
+
+    return _timed_carry_loop(step, (X16,), iters=iters) * 1e3
 
 
 def bench_reference_stack(N, d, m, repeats=2, n_mats=2):
@@ -121,16 +186,40 @@ def bench_reference_stack(N, d, m, repeats=2, n_mats=2):
 
 def main():
     B, N, d, m = 16, 4096, 2, 8
-    if os.environ.get('GSUM_BENCH_SMALL'):
+    small = bool(os.environ.get('GSUM_BENCH_SMALL'))
+    if small:
         B, N = 4, 1024
 
-    gflops = bench_tpu(B, N, d, m)
+    gflops, dt_blocked = bench_tpu(B, N, d, m, method='blocked')
     base_gflops = bench_reference_stack(N, d, m)
+
+    # driver-visible regression guards for the rest of the perf story
+    # (r2 verdict #6); each uses the same carry-dependent methodology
+    extra = {'headline_ms': round(dt_blocked * 1e3, 2)}
+    try:
+        gflops_xla, _ = bench_tpu(B, N, d, m, method='xla')
+        extra['blocked_vs_xla'] = round(gflops / gflops_xla, 3)
+    except Exception as e:
+        extra['blocked_vs_xla_error'] = type(e).__name__
+    try:
+        extra['grid_lml_N256_f32_us'] = round(bench_grid_lml(256, 512,
+                                                             'float32'), 2)
+        extra['grid_lml_N256_f64_us'] = round(bench_grid_lml(256, 128,
+                                                             'float64'), 1)
+    except Exception as e:
+        extra['grid_lml_error'] = type(e).__name__
+    if not small:
+        try:
+            extra['n16k_chol_ms'] = round(bench_16k(), 1)
+        except Exception as e:
+            extra['n16k_error'] = type(e).__name__
+
     print(json.dumps({
         'metric': 'batched_cov_chol_logpdf_N%d_B%d' % (N, B),
         'value': round(gflops, 2),
         'unit': 'GFLOP/s',
         'vs_baseline': round(gflops / base_gflops, 2),
+        'extra': extra,
     }))
 
 

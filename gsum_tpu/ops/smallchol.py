@@ -241,3 +241,4 @@ def batched_grid_lml(Ks, y, leaf=16):
     log_2pi = float(np.log(2 * np.pi))
     lml = -0.5 * (quad + m * (logdet + N * log_2pi))
     return jnp.where(ok, lml, -jnp.inf)
+
