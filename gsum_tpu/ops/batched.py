@@ -115,6 +115,13 @@ def batched_chol_logpdf(X, y, length_scale, amplitude, noise, method='auto',
 
     if method == 'auto':
         method = 'blocked' if N > 512 else 'xla'
+    if method == 'fused':
+        # the single-kernel HBM-resident Pallas factorization
+        from .fusedchol import fused_chol_solve_logdet
+
+        w, logdet = fused_chol_solve_logdet(K, y)
+        maha = jnp.sum(w * w, axis=-2)
+        return -0.5 * (maha + logdet[..., None] + N * _LOG_2PI)
     if method == 'blocked':
         # batch-leading (NOT vmapped: the small-chol leaf scatters would
         # vectorize badly under vmap; these ops take the batch directly)
