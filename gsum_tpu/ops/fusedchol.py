@@ -249,7 +249,7 @@ def _make_fused_kernel(chunk, nb, b, pb):
 
 @partial(jax.jit, static_argnames=('block', 'chunk', 'panel', 'tril',
                                    'interpret'))
-def fused_blocked_cholesky(K, block=256, chunk=4, panel=32, tril=False,
+def fused_blocked_cholesky(K, block=256, chunk=None, panel=32, tril=False,
                            interpret=False):
     R"""Cholesky of (B, N, N) SPD float32 matrices in one Pallas kernel.
 
@@ -272,6 +272,10 @@ def fused_blocked_cholesky(K, block=256, chunk=4, panel=32, tril=False,
     if N % block:
         raise ValueError('N=%d must be a multiple of block=%d' % (N, block))
     nb = N // block
+    if chunk is None:
+        # scratch = (8 tiles + 2 double-buffered pairs) * chunk*b^2 floats
+        # + the in-kernel factor's temporaries; 4 fits 16MB at b=256
+        chunk = max(1, int(4 * (256 / block) ** 2))
     chunk = min(chunk, B)
     gB = -(-B // chunk)
     pad = gB * chunk - B
@@ -313,7 +317,7 @@ def fused_blocked_cholesky(K, block=256, chunk=4, panel=32, tril=False,
 
 
 @partial(jax.jit, static_argnames=('block', 'chunk', 'panel', 'interpret'))
-def fused_chol_solve_logdet(K, Y, block=256, chunk=4, panel=32,
+def fused_chol_solve_logdet(K, Y, block=256, chunk=None, panel=32,
                             interpret=False):
     R"""Factor K with the fused kernel, solve ``L w = Y``, return
     ``(w, logdet K)`` — the headline pipeline's factor+solve stage.

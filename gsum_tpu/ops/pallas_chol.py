@@ -164,7 +164,7 @@ def _make_kernel(nb, pb, unroll=False):
 
 
 @partial(jax.jit, static_argnames=('chunk', 'panel', 'interpret', 'unroll'))
-def chol_inv_block(A, chunk=6, panel=32, interpret=False, unroll=True):
+def chol_inv_block(A, chunk=None, panel=32, interpret=False, unroll=True):
     R"""Cholesky factor and its inverse for a batch of SPD blocks.
 
     Parameters
@@ -172,8 +172,9 @@ def chol_inv_block(A, chunk=6, panel=32, interpret=False, unroll=True):
     A : (B, nb, nb) SPD matrices, float32; nb a multiple of ``panel``
     chunk : batch elements per grid step.  The scoped-VMEM budget is
         ~6·chunk·nb² floats (in + 2 outs, double-buffered across the
-        grid, plus kernel temporaries); chunk=6 at nb=256 fits the
-        16 MB limit with headroom even inside larger fused programs
+        grid, plus kernel temporaries); default scales as 6·(256/nb)² —
+        6 at nb=256 fits the 16 MB limit with headroom even inside
+        larger fused programs, nb=512 needs chunk=1
     panel : in-kernel panel width (multiple of the 8-sublane tile)
     interpret : run in Pallas interpreter mode (for CPU tests)
     unroll : unroll the per-panel rank-1 loops (default True — the serial
@@ -190,6 +191,8 @@ def chol_inv_block(A, chunk=6, panel=32, interpret=False, unroll=True):
     if nb % panel:
         raise ValueError('block size %d must be a multiple of panel %d'
                          % (nb, panel))
+    if chunk is None:
+        chunk = max(1, int(6 * (256 / nb) ** 2))
     chunk = min(chunk, B)
     grid = -(-B // chunk)
     pad = grid * chunk - B
