@@ -69,12 +69,14 @@ def main():
         + B * 2.0 * N * N * m
 
     # ---- full pipelines ----------------------------------------------
-    for meth in ('blocked', 'fused'):
-        def step(c, X_, y_, meth=meth):
+    for name, kw in (('blocked_b256', dict(method='blocked', block=256)),
+                     ('blocked_b128', dict(method='blocked', block=128)),
+                     ('fused', dict(method='fused'))):
+        def step(c, X_, y_, kw=kw):
             Xc = X_ + (1e-30 * jnp.sum(c)).astype(X_.dtype)
-            out = batched_chol_logpdf(Xc, y_, 0.25, 1.0, 1e-2, method=meth)
+            out = batched_chol_logpdf(Xc, y_, 0.25, 1.0, 1e-2, **kw)
             return c + 1e-6 * jnp.sum(out) * jnp.ones_like(c)
-        run_leg('pipe_' + meth, step, pipe_flops, consts=(X, y))
+        run_leg('pipe_' + name, step, pipe_flops, consts=(X, y))
 
     # correctness cross-check of the fused pipeline vs blocked
     if leg('pipe_fused'):

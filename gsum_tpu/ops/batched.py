@@ -80,9 +80,10 @@ def batched_mvn_logpdf(K, diff):
     return _logpdf_from_chol(L, diff)
 
 
-@partial(jax.jit, static_argnames=('method', 'precision', 'diag'))
+@partial(jax.jit, static_argnames=('method', 'precision', 'diag', 'block'))
 def batched_chol_logpdf(X, y, length_scale, amplitude, noise, method='auto',
-                        precision=jax.lax.Precision.HIGHEST, diag='auto'):
+                        precision=jax.lax.Precision.HIGHEST, diag='auto',
+                        block=128):
     R"""Fused pipeline: covariance build → Cholesky → MVN logpdf.
 
     The benchmark configuration of BASELINE.json: every argument may carry
@@ -116,7 +117,8 @@ def batched_chol_logpdf(X, y, length_scale, amplitude, noise, method='auto',
     if method == 'auto':
         method = 'blocked' if N > 512 else 'xla'
     if method == 'fused':
-        # the single-kernel HBM-resident Pallas factorization
+        # the single-kernel HBM-resident Pallas factorization (its own
+        # block default differs from the XLA driver's)
         from .fusedchol import fused_chol_solve_logdet
 
         w, logdet = fused_chol_solve_logdet(K, y)
@@ -125,7 +127,8 @@ def batched_chol_logpdf(X, y, length_scale, amplitude, noise, method='auto',
     if method == 'blocked':
         # batch-leading (NOT vmapped: the small-chol leaf scatters would
         # vectorize badly under vmap; these ops take the batch directly)
-        w, logdet = blocked_chol_solve_logdet(K, y, precision=precision,
+        w, logdet = blocked_chol_solve_logdet(K, y, block=block,
+                                              precision=precision,
                                               diag=diag)
         maha = jnp.sum(w * w, axis=-2)
         return -0.5 * (maha + logdet[..., None] + N * _LOG_2PI)

@@ -170,9 +170,10 @@ def _make_fused_kernel(chunk, nb, b, pb):
 
         @pl.when(k > 0)
         def _():
-            start_tk(0, jnp.int32(0))
+            start_tk(jnp.int32(0), jnp.int32(0))
 
         def dbody(j, _):
+            j = j.astype(jnp.int32)
             slot = jax.lax.rem(j, jnp.int32(2))
 
             @pl.when(j + 1 < k)
@@ -200,6 +201,7 @@ def _make_fused_kernel(chunk, nb, b, pb):
 
         # ---------------- panel rows ----------------------------------
         def rbody(r, _):
+            r = r.astype(jnp.int32)
             rr = r * np.int32(b)
             dk = pltpu.make_async_copy(tile(k_ref, rr, kk), kst, s_kst)
             dk.start()
@@ -213,12 +215,13 @@ def _make_fused_kernel(chunk, nb, b, pb):
 
             @pl.when(k > 0)
             def _():
-                start_pair(0, jnp.int32(0))
+                start_pair(jnp.int32(0), jnp.int32(0))
 
             dk.wait()
             acc[...] = kst[...]
 
             def pbody(j, _):
+                j = j.astype(jnp.int32)
                 slot = jax.lax.rem(j, jnp.int32(2))
 
                 @pl.when(j + 1 < k)
