@@ -126,6 +126,25 @@ def main():
 
     run_leg('pipe_xlasolve', step_xla_solve, pipe_flops, consts=(X, y))
 
+    # ---- B=1 N=4096: the model-class fit/lml regime ------------------
+    # decides models._auto_chol's routing (a single matrix per lml eval)
+    X1 = jnp.asarray(rng.rand(1, N, d), dtype=jnp.float32)
+
+    def b1_step(engine):
+        def step(c, X_):
+            Xc = X_ + (1e-30 * jnp.sum(c)).astype(X_.dtype)
+            K = cov(Xc, BB=1)
+            if engine == 'xla':
+                L = jnp.linalg.cholesky(K)
+            else:
+                L = batched_blocked_cholesky(K, block=128)
+            return c + 1e-6 * jnp.sum(L) * jnp.ones_like(c)
+        return step
+
+    run_leg('b1_n4096_xla', b1_step('xla'), N ** 3 / 3.0, consts=(X1,))
+    run_leg('b1_n4096_blocked_b128', b1_step('blocked'), N ** 3 / 3.0,
+            consts=(X1,))
+
     # ---- N=16,384 single matrix --------------------------------------
     N16 = 16384
     X16 = jnp.asarray(rng.rand(1, N16, d), dtype=jnp.float32)

@@ -144,8 +144,12 @@ def _factor_inv_values(A, pb):
     return L, Minv
 
 
-def _make_fused_kernel(chunk, nb, b, pb):
-    """Kernel factory.  Grid (batch_chunks, nb); refs in ANY (HBM)."""
+def _make_fused_kernel(chunk, nb, b, pb, db=True):
+    """Kernel factory.  Grid (batch_chunks, nb); refs in ANY (HBM).
+
+    ``db=False`` disables the double-buffered j-stream (each history tile
+    DMA is started and waited at its use) — slower, but a smaller Mosaic
+    program for compile-service-limited configurations."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -168,17 +172,23 @@ def _make_fused_kernel(chunk, nb, b, pb):
             pltpu.make_async_copy(tile(l_ref, kk, j * np.int32(b)),
                                   tk.at[slot], s_tk.at[slot]).start()
 
-        @pl.when(k > 0)
-        def _():
-            start_tk(jnp.int32(0), jnp.int32(0))
+        if db:
+            @pl.when(k > 0)
+            def _():
+                start_tk(jnp.int32(0), jnp.int32(0))
 
         def dbody(j, _):
             j = j.astype(jnp.int32)
-            slot = jax.lax.rem(j, jnp.int32(2))
+            if db:
+                slot = jax.lax.rem(j, jnp.int32(2))
 
-            @pl.when(j + 1 < k)
-            def _():
-                start_tk(jax.lax.rem(j + jnp.int32(1), jnp.int32(2)), j + 1)
+                @pl.when(j + 1 < k)
+                def _():
+                    start_tk(jax.lax.rem(j + jnp.int32(1), jnp.int32(2)),
+                             j + 1)
+            else:
+                slot = jnp.int32(0)
+                start_tk(slot, j)
 
             pltpu.make_async_copy(tile(l_ref, kk, j * np.int32(b)),
                                   tk.at[slot], s_tk.at[slot]).wait()
@@ -213,20 +223,26 @@ def _make_fused_kernel(chunk, nb, b, pb):
                 pltpu.make_async_copy(tile(l_ref, kk, jb),
                                       tk.at[slot], s_tk.at[slot]).start()
 
-            @pl.when(k > 0)
-            def _():
-                start_pair(jnp.int32(0), jnp.int32(0))
+            if db:
+                @pl.when(k > 0)
+                def _():
+                    start_pair(jnp.int32(0), jnp.int32(0))
 
             dk.wait()
             acc[...] = kst[...]
 
             def pbody(j, _):
                 j = j.astype(jnp.int32)
-                slot = jax.lax.rem(j, jnp.int32(2))
+                if db:
+                    slot = jax.lax.rem(j, jnp.int32(2))
 
-                @pl.when(j + 1 < k)
-                def _():
-                    start_pair(jax.lax.rem(j + jnp.int32(1), jnp.int32(2)), j + 1)
+                    @pl.when(j + 1 < k)
+                    def _():
+                        start_pair(jax.lax.rem(j + jnp.int32(1),
+                                               jnp.int32(2)), j + 1)
+                else:
+                    slot = jnp.int32(0)
+                    start_pair(slot, j)
 
                 jb = j * np.int32(b)
                 pltpu.make_async_copy(tile(l_ref, rr, jb),
@@ -251,9 +267,9 @@ def _make_fused_kernel(chunk, nb, b, pb):
 
 
 @partial(jax.jit, static_argnames=('block', 'chunk', 'panel', 'tril',
-                                   'interpret'))
+                                   'db', 'interpret'))
 def fused_blocked_cholesky(K, block=256, chunk=None, panel=32, tril=False,
-                           interpret=False):
+                           db=True, interpret=False):
     R"""Cholesky of (B, N, N) SPD float32 matrices in one Pallas kernel.
 
     Returns ``(L, minvs)``: the factor and the (B, nb, block, block)
@@ -277,9 +293,15 @@ def fused_blocked_cholesky(K, block=256, chunk=None, panel=32, tril=False,
     nb = N // block
     if chunk is None:
         # scratch = (8 tiles + 2 double-buffered pairs) * chunk*b^2 floats
-        # + the in-kernel factor's temporaries; 4 fits 16MB at b=256
-        chunk = max(1, int(4 * (256 / block) ** 2))
-    chunk = min(chunk, B)
+        # + the in-kernel factor's temporaries; 4 fits 16MB at b=256.
+        # chunk=1 is excluded: the degenerate (1, b, b) batch dimension
+        # crashes this toolchain's TPU compiler (subprocess exit; verified
+        # by bisection at N=512..1024) — B=1 inputs are padded to 2.
+        chunk = max(2, int(4 * (256 / block) ** 2))
+    if chunk == 1 and not interpret:
+        raise ValueError('chunk=1 crashes the TPU compiler on this '
+                         'toolchain (degenerate batch dim); use chunk>=2')
+    chunk = min(chunk, max(B, 2))
     gB = -(-B // chunk)
     pad = gB * chunk - B
     if pad:
@@ -290,7 +312,7 @@ def fused_blocked_cholesky(K, block=256, chunk=None, panel=32, tril=False,
     anyspec = pl.BlockSpec(memory_space=pltpu.ANY)
     vm = pltpu.VMEM
     L, minvs = pl.pallas_call(
-        _make_fused_kernel(chunk, nb, block, panel),
+        _make_fused_kernel(chunk, nb, block, panel, db),
         grid=(gB, nb),
         in_specs=[anyspec],
         out_specs=(anyspec, anyspec),
