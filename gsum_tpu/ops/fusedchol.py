@@ -292,12 +292,11 @@ def fused_blocked_cholesky(K, block=256, chunk=None, panel=32, tril=False,
         raise ValueError('N=%d must be a multiple of block=%d' % (N, block))
     nb = N // block
     if chunk is None:
-        # scratch = (8 tiles + 2 double-buffered pairs) * chunk*b^2 floats
-        # + the in-kernel factor's temporaries; 4 fits 16MB at b=256.
-        # chunk=1 is excluded: the degenerate (1, b, b) batch dimension
-        # crashes this toolchain's TPU compiler (subprocess exit; verified
-        # by bisection at N=512..1024) — B=1 inputs are padded to 2.
-        chunk = max(2, int(4 * (256 / block) ** 2))
+        # chunk=2 is the empirically safe point on this toolchain: chunk=1
+        # (degenerate (1, b, b) batch dim) and chunk=4 at b=256 both crash
+        # the remote TPU compiler (subprocess exit; bisected at
+        # N=512..4096), chunk=2 compiles and runs through N=4096.
+        chunk = 2
     if chunk == 1 and not interpret:
         raise ValueError('chunk=1 crashes the TPU compiler on this '
                          'toolchain (degenerate batch dim); use chunk>=2')
