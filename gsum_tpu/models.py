@@ -80,9 +80,10 @@ class BaseConjugateProcess:
     decomposition : 'cholesky' or 'eig'
     chol_engine : 'auto', 'xla', or 'blocked' — Cholesky engine for the
         lml/fit/predict closures.  'auto' (default) uses XLA's native
-        factorization except for large (N>512) float32 matrices on TPU,
-        which route to the GEMM-dominated blocked engine
-        (``ops.blockchol``); see ``_auto_chol``.
+        factorization except for batched (B>=2) large (N>512) float32
+        inputs on TPU, which route to the GEMM-dominated blocked engine
+        (``ops.blockchol``); see ``_auto_chol`` for the measured
+        rationale.
     """
 
     def __init__(self, kernel=None, center=0, disp=0, df=1, scale=1, sd=None,
@@ -648,13 +649,19 @@ def _blocked_chol(R):
 
 
 def _auto_chol(R):
-    """Size/dtype-routed Cholesky: XLA native everywhere except large f32
-    matrices on TPU, which go to the blocked engine — the reference hot loop
-    (gsum/models.py:957-1039) at N=4096 f32 runs ~12-19% faster there at
-    equal full-f32 accuracy (docs/perf.md).  f64 stays on XLA: every engine
-    is bound by the ~30x emulated-f64 multiply, so routing buys nothing.
+    """Batch/size/dtype-routed Cholesky.
+
+    The blocked engine's advantage is a *batched* phenomenon: at B=16
+    N=4096 f32 it runs 2.15x XLA's pipeline (docs/perf.md round 3), but a
+    single matrix is where XLA's own factorization shines (measured
+    1.92 ms / 11.9 TF/s at B=1 N=4096 — not latency-bound), and the
+    Pallas diagonal kernel cannot run at a degenerate batch of 1 on this
+    toolchain.  So: batched (ndim>=3, B>=2) large f32 on TPU -> blocked;
+    everything else (incl. the model classes' one-matrix-per-lml path,
+    and all f64 — bound by the ~30x emulated-f64 multiply) -> XLA.
     """
-    if (R.shape[-1] > 512 and R.dtype == jnp.float32
+    if (R.ndim >= 3 and R.shape[0] >= 2 and R.shape[-1] > 512
+            and R.dtype == jnp.float32
             and jax.default_backend() == 'tpu'):
         return _blocked_chol(R)
     return jnp.linalg.cholesky(R)

@@ -48,8 +48,11 @@ _LOG_2PI = float(np.log(2 * np.pi))
 def _diag_engine(K, block, diag):
     if diag != 'auto':
         return diag
+    # B >= 2: a degenerate (1, b, b) batch crashes this toolchain's TPU
+    # compiler inside the Pallas kernel (bisected — see ops.fusedchol)
     if (jax.default_backend() == 'tpu' and K.dtype == jnp.float32
-            and block % 32 == 0 and K.ndim == 3):
+            and block % 32 == 0 and block <= 512 and K.ndim == 3
+            and K.shape[0] >= 2):
         return 'pallas'
     return 'recursive'
 

@@ -192,8 +192,10 @@ def chol_inv_block(A, chunk=None, panel=32, interpret=False, unroll=True):
         raise ValueError('block size %d must be a multiple of panel %d'
                          % (nb, panel))
     if chunk is None:
-        chunk = max(1, int(6 * (256 / nb) ** 2))
-    chunk = min(chunk, B)
+        chunk = max(2, int(6 * (256 / nb) ** 2))
+    # chunk >= 2: a degenerate (1, nb, nb) grid block crashes this
+    # toolchain's TPU compiler (see ops.fusedchol); B=1 pads to 2
+    chunk = max(2, min(chunk, B))
     grid = -(-B // chunk)
     pad = grid * chunk - B
     if pad:

@@ -269,9 +269,11 @@ def test_chol_engine_blocked_threads_through_model(monkeypatch):
 
 
 def test_chol_engine_auto_routes_large_f32_on_tpu():
-    """The 'auto' engine's routing rule: blocked only for N>512 float32 on
-    a TPU backend; XLA otherwise (f64 stays on XLA — emulated-f64 bounds
-    every engine)."""
+    """The 'auto' engine's routing rule (docs/perf.md round 3): blocked
+    only for BATCHED (B>=2) N>512 float32 on a TPU backend; single
+    matrices stay on XLA (measured 11.9 TF/s at B=1 N=4096 — the blocked
+    engine's win is a batched phenomenon), as does f64 of any size
+    (emulated-f64 bounds every engine)."""
     import jax.numpy as jnp
     from unittest import mock
 
@@ -280,10 +282,13 @@ def test_chol_engine_auto_routes_large_f32_on_tpu():
     with mock.patch.object(M.jax, 'default_backend', lambda: 'tpu'):
         with mock.patch.object(M, '_blocked_chol',
                                side_effect=lambda R: ('blocked', R)) as mb:
-            big32 = jnp.zeros((600, 600), jnp.float32)
-            assert M._auto_chol(big32)[0] == 'blocked'
+            big32_b = jnp.zeros((2, 600, 600), jnp.float32)
+            assert M._auto_chol(big32_b)[0] == 'blocked'
             assert mb.call_count == 1
-            # small f32, and f64 of any size, stay on XLA
+            # single matrix, small f32, and f64 of any size stay on XLA
+            big32_single = jnp.eye(600, dtype=jnp.float32)
+            np.testing.assert_allclose(np.asarray(M._auto_chol(big32_single)),
+                                       np.eye(600))
             small = jnp.eye(64, dtype=jnp.float32)
             np.testing.assert_allclose(np.asarray(M._auto_chol(small)),
                                        np.eye(64))
