@@ -39,7 +39,7 @@ from .. import _config  # noqa: F401
 from .smallchol import _cholesky_raw, _tri_inv_raw
 
 __all__ = ['batched_blocked_cholesky', 'blocked_chol_solve_logdet',
-           'blocked_solve_lower']
+           'blocked_solve_lower', 'blocked_factor', 'blocked_cho_solve']
 
 _HI = jax.lax.Precision.HIGHEST
 _LOG_2PI = float(np.log(2 * np.pi))
@@ -237,6 +237,76 @@ def blocked_chol_solve_logdet(K, Y, block=256, leaf=32,
     logdet = 2.0 * jnp.sum(
         jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), axis=-1)
     return w, logdet
+
+
+def blocked_factor(K, block=128, leaf=32,
+                   precision=jax.lax.Precision.HIGHEST, diag='auto'):
+    R"""Factor (..., N, N) SPD K, returning ``(L, minvs)`` for reuse.
+
+    The forward-only companion of :func:`batched_blocked_cholesky` for
+    callers that also need the diagonal-block inverses (the GEMM-based
+    solves of :func:`blocked_cho_solve`).  N is padded to a block
+    multiple internally; L comes back un-padded, minvs padded (their
+    trailing identity blocks solve the padded rows as identity, which the
+    solve slices away).  NOT differentiable when the Pallas diagonal
+    engine is selected — use ``batched_blocked_cholesky`` (custom VJP)
+    inside optimizer objectives.
+    """
+    N = K.shape[-1]
+    engine = _diag_engine(K, block, diag)
+    Kp, pad = _pad_spd(K, block)
+    L, minvs = _blocked_factor(Kp, block, leaf, precision, engine)
+    if pad:
+        L = L[..., :N, :N]
+    return L, minvs
+
+
+def blocked_cho_solve(L, minvs, Y, precision=jax.lax.Precision.HIGHEST):
+    R"""Solves ``(L Lᵀ) X = Y`` from :func:`blocked_factor`'s output.
+
+    nb forward + nb backward blocked-substitution steps, each a batched
+    GEMM against the precomputed diagonal-block inverses; only the lower
+    triangle of L is read.
+    """
+    block = minvs[0].shape[-1]
+    N = Y.shape[-2]
+    nb = len(minvs)
+    pad = nb * block - N
+    if pad:
+        Y = jnp.concatenate(
+            [Y, jnp.zeros(Y.shape[:-2] + (pad, Y.shape[-1]), Y.dtype)],
+            axis=-2)
+        eye_ext = jnp.broadcast_to(jnp.eye(pad, dtype=L.dtype),
+                                   L.shape[:-2] + (pad, pad))
+        L = jnp.concatenate([
+            jnp.concatenate(
+                [L, jnp.zeros(L.shape[:-2] + (N, pad), L.dtype)], -1),
+            jnp.concatenate(
+                [jnp.zeros(L.shape[:-2] + (pad, N), L.dtype), eye_ext], -1),
+        ], -2)
+
+    w = jnp.zeros_like(Y)
+    for k in range(nb):
+        s = k * block
+        rhs = Y[..., s:s + block, :]
+        if k:
+            rhs = rhs - jnp.matmul(L[..., s:s + block, :s], w[..., :s, :],
+                                   precision=precision)
+        w = w.at[..., s:s + block, :].set(
+            jnp.matmul(minvs[k], rhs, precision=precision))
+
+    x = jnp.zeros_like(Y)
+    for k in reversed(range(nb)):
+        s = k * block
+        rhs = w[..., s:s + block, :]
+        if k < nb - 1:
+            L_below = L[..., s + block:, s:s + block]      # (..., r, b)
+            rhs = rhs - jnp.matmul(jnp.swapaxes(L_below, -1, -2),
+                                   x[..., s + block:, :], precision=precision)
+        x = x.at[..., s:s + block, :].set(
+            jnp.matmul(jnp.swapaxes(minvs[k], -1, -2), rhs,
+                       precision=precision))
+    return x[..., :N, :] if pad else x
 
 
 def blocked_solve_lower(L, Y, leaf=32):

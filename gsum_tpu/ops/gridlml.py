@@ -53,11 +53,15 @@ def cgp_lml_grid(Rs, y, basis, center0, disp0, df0, scale0, leaf=16,
     basis : (N, p) — mean basis (shared)
     center0, disp0, df0, scale0 : concrete prior hyperparameters
 
-    engine : 'unrolled' | 'scan' — factorization/solve engine.
+    engine : 'unrolled' | 'scan' | 'blocked' — factorization/solve engine.
         'unrolled' (ops.smallchol) is fastest but its HLO grows with N
         until compilation fails (~N=512 forward, ~N=256 under an
         optimizer adjoint); 'scan' (ops.scanchol) has O(1) compile size
-        at ~6x the factorization FLOPs — the N=256-1024 grid engine.
+        at ~6x the factorization FLOPs — the N=256-1024 grid engine;
+        'blocked' (ops.blockchol — the 13.4 TF/s headline factorization,
+        docs/perf.md) is the large-N batched engine for FORWARD-ONLY
+        sweeps (its Pallas diagonal kernel has no VJP), best at f32 on
+        TPU for N >~ 1024.
 
     Returns
     -------
@@ -83,6 +87,10 @@ def cgp_lml_grid(Rs, y, basis, center0, disp0, df0, scale0, leaf=16,
         from .scanchol import scan_blocked_cholesky, scan_cho_solve
 
         L0, _ = scan_blocked_cholesky(Rs)
+    elif engine == 'blocked':
+        from .blockchol import blocked_cho_solve, blocked_factor
+
+        L0, _ = blocked_factor(Rs)
     else:
         L0 = batched_small_cholesky(Rs, leaf)
     diag = jnp.diagonal(L0, axis1=-2, axis2=-1)
@@ -91,6 +99,9 @@ def cgp_lml_grid(Rs, y, basis, center0, disp0, df0, scale0, leaf=16,
     Rs_safe = jax.lax.optimization_barrier(jnp.where(ok[:, None, None], Rs, eye))
     if engine == 'scan':
         L, minvs = scan_blocked_cholesky(Rs_safe)
+        L = jax.lax.optimization_barrier(L)
+    elif engine == 'blocked':
+        L, minvs = blocked_factor(Rs_safe)
         L = jax.lax.optimization_barrier(L)
     else:
         L = jax.lax.optimization_barrier(batched_small_cholesky(Rs_safe, leaf))
@@ -104,6 +115,8 @@ def cgp_lml_grid(Rs, y, basis, center0, disp0, df0, scale0, leaf=16,
             jnp.concatenate([y, basis], axis=1)[None], (G, N, m + p))
     if engine == 'scan':
         invR_yB = scan_cho_solve(L, minvs, yB)
+    elif engine == 'blocked':
+        invR_yB = blocked_cho_solve(L, minvs, yB)
     else:
         invR_yB = batched_cho_solve(L, yB, leaf)
     invR_y = invR_yB[..., :m]                                       # (G, N, m)

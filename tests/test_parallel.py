@@ -426,3 +426,35 @@ def test_batched_fit_mixed_precision():
                                rtol=1e-8)
     np.testing.assert_allclose(np.asarray(pmx.cov_factor),
                                np.asarray(p64.cov_factor), rtol=1e-4)
+
+
+def test_lml_grid_blocked_engine_matches_loop():
+    """The forward-only 'blocked' grid engine (ops.blockchol backend of
+    cgp_lml_grid) equals the per-theta model evaluation; exercised on CPU
+    where the diagonal engine is the recursive one."""
+    rng = np.random.RandomState(8)
+    N = 300   # not a block multiple: exercises the padding path
+    Xg = np.linspace(0, 1, N)[:, None]
+    yg = np.sin(3 * Xg[:, 0]) + 0.1 * rng.randn(N)
+    kernel = gm.RBF(0.4, (1e-2, 1e2))
+    thetas = np.log(np.linspace(0.2, 0.8, 5))[:, None]
+
+    grid = np.asarray(batched_lml_grid(kernel, Xg, yg, thetas, df=3,
+                                       scale=1.0, nugget=1e-6,
+                                       engine='blocked'))
+    gp = gm.ConjugateGaussianProcess(kernel=kernel, optimizer=None, df=3,
+                                     scale=1.0, nugget=1e-6)
+    gp.fit(Xg, yg)
+    loop = np.array([float(np.asarray(gp.log_marginal_likelihood(th)))
+                     for th in thetas])
+    np.testing.assert_allclose(grid, loop, rtol=1e-7)
+
+    # failed-factorization convention: non-PD grid point -> -inf
+    from gsum_tpu.ops.gridlml import cgp_lml_grid
+    K = np.stack([np.eye(N) * 2, -np.eye(N), np.eye(N) * 3])
+    out = np.asarray(cgp_lml_grid(
+        jnp.asarray(K), jnp.asarray(yg)[:, None],
+        jnp.ones((N, 1)), np.zeros(1), np.zeros((1, 1)), 3.0, 1.0,
+        engine='blocked'))
+    assert np.isfinite(out[0]) and np.isfinite(out[2])
+    assert np.isneginf(out[1])
