@@ -857,8 +857,15 @@ class ConjugateStudentProcess(BaseConjugateProcess):
 
         def log_norm(df_, scale_sq_, disp_, disp_zero):
             """Normalizer of the normal-scaled-inverse-χ² distribution
-            (reference models.py:1241-1247)."""
-            norm = gammaln(df_ / 2.) - df_ / 2. * jnp.log(df_ * scale_sq_ / 2.)
+            (reference models.py:1241-1247).  df_ is always concrete
+            (df0 + shape count), so its gammaln runs on the host — a 0-d
+            device transcendental constant-folds at f32 on this TPU."""
+            if isinstance(df_, (int, float, np.floating)):
+                from scipy.special import gammaln as _g_host
+                g = float(_g_host(df_ / 2.))
+            else:
+                g = gammaln(df_ / 2.)
+            norm = g - df_ / 2. * jnp.log(df_ * scale_sq_ / 2.)
             if not disp_zero:
                 norm = norm + 0.5 * spd_logdet(2 * jnp.pi * disp_)
             return norm

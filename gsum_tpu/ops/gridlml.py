@@ -343,8 +343,13 @@ def csp_lml_grid(Rs, y, basis, center0, disp0, df0, scale0, leaf=16):
             quad2 = m * jnp.einsum('n,gn->g', avg_yc, invR_avg_yc - corr)
         scale_sq = (df0 * float(scale0) ** 2 + quad + quad2) / df
 
-    # normalizer ratio (reference models.py:1241-1258)
-    log_norm_post = gammaln(df / 2.) - df / 2. * jnp.log(df * scale_sq / 2.)
+    # normalizer ratio (reference models.py:1241-1258).  df is a concrete
+    # Python float, so its gammaln runs on the host: a 0-d device
+    # transcendental constant-folds at f32 on this TPU (see CLAUDE.md)
+    from scipy.special import gammaln as _gammaln_host
+
+    log_norm_post = float(_gammaln_host(df / 2.)) \
+        - df / 2. * jnp.log(df * scale_sq / 2.)
     if not disp0_zero:
         log_norm_post = log_norm_post + 0.5 * (p * _LOG_2PI + logdet_disp)
 
@@ -411,7 +416,9 @@ def csp_lml_grid2(Rs, Ys, basis, center0, disp0, df0, scale0, leaf=16):
     quad2 = m * jnp.einsum('rn,trn->tr', avg_yc, invR_avg_yc)
     scale_sq = (df0 * float(scale0) ** 2 + quad + quad2) / df
 
-    log_norm_post = gammaln(df / 2.) - df / 2. * jnp.log(df * scale_sq / 2.)
+    # df is concrete — host gammaln (0-d device transcendentals fold at f32)
+    log_norm_post = float(gammaln_host(df / 2.)) \
+        - df / 2. * jnp.log(df * scale_sq / 2.)
     log_norm_prior = float(gammaln_host(df0 / 2.)
                            - df0 / 2. * np.log(df0 * float(scale0) ** 2 / 2.))
 
