@@ -261,6 +261,43 @@ def blocked_factor(K, block=128, leaf=32,
     return L, minvs
 
 
+def blocked_tri_inv_diag(L, block=128, leaf=32):
+    R"""Differentiable diagonal-block inverses of a blocked factor.
+
+    ``blocked_factor``'s inverses come out of the Pallas diagonal kernel,
+    which has no VJP; optimizer objectives instead factor with
+    :func:`batched_blocked_cholesky` (analytic custom VJP) and rebuild
+    the inverses here with ``batched_small_tri_inv`` (also custom-VJP) —
+    one extra inversion pass buys a fully differentiable blocked solve.
+
+    Returns the list of (..., block, block) inverses, the trailing one
+    identity-padded when N is not a block multiple (matching
+    :func:`blocked_cho_solve`'s padding convention).
+    """
+    from .smallchol import batched_small_tri_inv
+
+    N = L.shape[-1]
+    nb = -(-N // block)
+    minvs = []
+    for k in range(nb):
+        s = k * block
+        e = min(s + block, N)
+        blk = L[..., s:e, s:e]
+        if e - s < block:
+            pad = block - (e - s)
+            blk = jnp.concatenate([
+                jnp.concatenate(
+                    [blk, jnp.zeros(blk.shape[:-2] + (e - s, pad),
+                                    blk.dtype)], -1),
+                jnp.concatenate(
+                    [jnp.zeros(blk.shape[:-2] + (pad, e - s), blk.dtype),
+                     jnp.broadcast_to(jnp.eye(pad, dtype=blk.dtype),
+                                      blk.shape[:-2] + (pad, pad))], -1),
+            ], -2)
+        minvs.append(batched_small_tri_inv(blk, leaf))
+    return minvs
+
+
 def blocked_cho_solve(L, minvs, Y, precision=jax.lax.Precision.HIGHEST):
     R"""Solves ``(L Lᵀ) X = Y`` from :func:`blocked_factor`'s output.
 

@@ -59,9 +59,10 @@ def cgp_lml_grid(Rs, y, basis, center0, disp0, df0, scale0, leaf=16,
         optimizer adjoint); 'scan' (ops.scanchol) has O(1) compile size
         at ~6x the factorization FLOPs — the N=256-1024 grid engine;
         'blocked' (ops.blockchol — the 13.4 TF/s headline factorization,
-        docs/perf.md) is the large-N batched engine for FORWARD-ONLY
-        sweeps (its Pallas diagonal kernel has no VJP), best at f32 on
-        TPU for N >~ 1024.
+        docs/perf.md) is the large-N batched engine, best at f32 on TPU
+        for N >~ 1024; it is fully differentiable (custom-VJP
+        factorization + custom-VJP diagonal-block inverses), so it also
+        serves the batched-fit optimizer objective.
 
     Returns
     -------
@@ -88,9 +89,10 @@ def cgp_lml_grid(Rs, y, basis, center0, disp0, df0, scale0, leaf=16,
 
         L0, _ = scan_blocked_cholesky(Rs)
     elif engine == 'blocked':
-        from .blockchol import blocked_cho_solve, blocked_factor
+        from .blockchol import (batched_blocked_cholesky, blocked_cho_solve,
+                                blocked_tri_inv_diag)
 
-        L0, _ = blocked_factor(Rs)
+        L0 = batched_blocked_cholesky(Rs, block=128)
     else:
         L0 = batched_small_cholesky(Rs, leaf)
     diag = jnp.diagonal(L0, axis1=-2, axis2=-1)
@@ -101,8 +103,11 @@ def cgp_lml_grid(Rs, y, basis, center0, disp0, df0, scale0, leaf=16,
         L, minvs = scan_blocked_cholesky(Rs_safe)
         L = jax.lax.optimization_barrier(L)
     elif engine == 'blocked':
-        L, minvs = blocked_factor(Rs_safe)
-        L = jax.lax.optimization_barrier(L)
+        # differentiable pair: custom-VJP factorization + custom-VJP
+        # diagonal-block inverses (the Pallas-kernel inverses have no VJP)
+        L = jax.lax.optimization_barrier(
+            batched_blocked_cholesky(Rs_safe, block=128))
+        minvs = blocked_tri_inv_diag(L, block=128)
     else:
         L = jax.lax.optimization_barrier(batched_small_cholesky(Rs_safe, leaf))
 

@@ -283,15 +283,18 @@ def batched_fit(kernel, X, y_batch, center=0, disp=0, df=1, scale=1,
     chunk : int or None — evaluate at most this many fits per device call
         (the tunneled TPU runtime here kills executions that run too long;
         chunking also bounds memory).  One compile serves all chunks.
-    engine : 'auto' | 'grid' | 'scan' | 'scalar' — lml engine for the
-        wide lockstep objective.  'grid' is the explicitly-batched
-        evaluator (fastest below N~256 but its unrolled forward+adjoint
-        HLO grows with N until compilation becomes impractical); 'scan'
-        is the same evaluator on the scan-based factorization
-        (``ops.scanchol``: O(1) compile size, ~6x factorization FLOPs);
-        'scalar' is the vmapped scalar lml (XLA batched Cholesky).
-        'auto' picks 'grid' for N <= 192, 'scan' to N <= 640, 'scalar'
-        above.
+    engine : 'auto' | 'grid' | 'scan' | 'blocked' | 'scalar' — lml
+        engine for the wide lockstep objective.  'grid' is the
+        explicitly-batched evaluator (fastest below N~256 but its
+        unrolled forward+adjoint HLO grows with N until compilation
+        becomes impractical); 'scan' is the same evaluator on the
+        scan-based factorization (``ops.scanchol``: O(1) compile size,
+        ~6x factorization FLOPs); 'blocked' runs it on the 13.4 TF/s
+        blocked factorization (``ops.blockchol``, differentiable via
+        custom VJPs — the large-N f32 engine); 'scalar' is the vmapped
+        scalar lml (XLA batched Cholesky).  'auto' picks 'grid' for
+        N <= 192, 'scan' to N <= 640, then 'blocked' for f32 on TPU and
+        'scalar' otherwise.
     ls_steps : int — linesearch trial points per L-BFGS iteration.  Every
         trial's covariance build + factorization is live simultaneously
         (ls_steps x chunk matrices), so lower this together with ``chunk``
@@ -412,15 +415,21 @@ def _batched_fit_wide(frozen, X, y_batch, basis, starts, lower, upper,
     # or is OOM-killed (observed at N=256); the scan engine keeps the
     # batched formulation at O(1) compile size up to mid-size N; the
     # vmapped scalar lml is the compile-light large-N fallback.
-    if engine not in ('auto', 'grid', 'scan', 'scalar'):
+    if engine not in ('auto', 'grid', 'scan', 'blocked', 'scalar'):
         raise ValueError(
-            "engine must be 'auto', 'grid', 'scan', or 'scalar'")
+            "engine must be 'auto', 'grid', 'scan', 'blocked', or 'scalar'")
     if engine == 'auto':
+        # above the scan engine's range, large f32 lockstep objectives on
+        # TPU use the blocked engine (differentiable: custom-VJP
+        # factorization + inverses); f64 stays on the vmapped scalar lml
+        blocked_ok = (dtype == jnp.float32
+                      and jax.default_backend() == 'tpu')
         grid_engine = ('unrolled' if N <= 192
-                       else 'scan' if N <= 640 else None)
+                       else 'scan' if N <= 640
+                       else 'blocked' if blocked_ok else None)
     else:
         grid_engine = {'grid': 'unrolled', 'scan': 'scan',
-                       'scalar': None}[engine]
+                       'blocked': 'blocked', 'scalar': None}[engine]
     use_grid_engine = grid_engine is not None
     if not use_grid_engine:
         scalar_lml = ConjugateGaussianProcess._make_lml_fn(
