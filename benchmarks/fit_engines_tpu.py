@@ -1,0 +1,77 @@
+"""Batched MAP-fit engine comparison at large N on the real TPU.
+
+Measures `parallel.batched_fit` end-to-end wall clock (cold = first call
+including the remote compile; warm = second call with identical shapes,
+served by the in-process executable cache) for the engines that the auto
+router chooses at each size:
+
+  - N=1024, N=2048: 'blocked' (the differentiable blocked engine,
+    custom-VJP factorization + blocked-substitution Cholesky adjoint)
+    vs 'scalar' (vmapped scalar lml on XLA's batched Cholesky).
+  - N=4096: 'scalar' only — the blocked objective's *bare* gradient
+    compiles (measured 659 s), but the L-BFGS scan body holds ~2.3
+    objective instantiations (linesearch trials forward at ls_steps*B
+    plus value-and-grad at B) and the remote compile helper is
+    OOM-SIGKILLed; auto therefore routes N>2048 fits to 'scalar'.
+
+Every fit's reported lml is checked finite; blocked-vs-scalar theta
+agreement is asserted at N<=2048.
+
+Run: python benchmarks/fit_engines_tpu.py
+Env: GSUM_FIT_ENGINES_LEGS=12 (default '123') to select size legs.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import gsum_tpu  # noqa: F401
+    from gsum_tpu.kernels import RBF
+    from gsum_tpu.parallel import batched_fit
+
+    rng = np.random.RandomState(0)
+    results = {}
+    legs = os.environ.get('GSUM_FIT_ENGINES_LEGS', '123')
+
+    def run(tag, N, B, engine, chunk, ls_steps, check=None):
+        X = np.linspace(0.0, 1.0, N)[:, None].astype(np.float32)
+        y = (np.sin(3.0 * X.T + rng.rand(B, 1) * 6.28)
+             + 0.1 * rng.randn(B, N)).astype(np.float32)
+        kw = dict(df=3, scale=1, maxiter=6, nugget=1e-2, chunk=chunk,
+                  ls_steps=ls_steps, engine=engine)
+        t0 = time.time()
+        post = batched_fit(RBF(0.5, (1e-2, 1e2)), X, y, **kw)
+        lml = np.asarray(post.lml)
+        cold = time.time() - t0
+        assert np.isfinite(lml).all(), (tag, lml)
+        t0 = time.time()
+        post2 = batched_fit(RBF(0.5, (1e-2, 1e2)), X, y, **kw)
+        np.asarray(post2.lml)
+        warm = time.time() - t0
+        results[tag + '_cold_s'] = round(cold, 1)
+        results[tag + '_warm_s'] = round(warm, 2)
+        print(json.dumps(results), flush=True)
+        if check is not None:
+            np.testing.assert_allclose(np.asarray(post.theta),
+                                       np.asarray(check.theta), atol=1e-3)
+        return post
+
+    if '1' in legs:
+        p = run('fit_B4_N1024_blocked', 1024, 4, 'blocked', 128, 10)
+        run('fit_B4_N1024_scalar', 1024, 4, 'scalar', 128, 10, check=p)
+    if '2' in legs:
+        p = run('fit_B4_N2048_blocked', 2048, 4, 'blocked', 128, 10)
+        run('fit_B4_N2048_scalar', 2048, 4, 'scalar', 128, 10, check=p)
+    if '3' in legs:
+        run('fit_B8_N4096_scalar', 4096, 8, 'scalar', 1, 5)
+    print(json.dumps(results))
+
+
+if __name__ == '__main__':
+    main()

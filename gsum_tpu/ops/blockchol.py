@@ -169,16 +169,60 @@ def _bbc_fwd(K, block, leaf, precision, diag):
     return L, L
 
 
+def _solve_upperT_blocked(L, minvs, Y, precision=_HI):
+    """Solves ``Lᵀ X = Y`` (upper-triangular backward substitution) with
+    nb blocked GEMM steps against precomputed diagonal-block inverses.
+    Y is (..., N, m) with N already a block multiple."""
+    block = minvs[0].shape[-1]
+    nb = len(minvs)
+    X = jnp.zeros_like(Y)
+    for k in reversed(range(nb)):
+        s = k * block
+        rhs = Y[..., s:s + block, :]
+        if k < nb - 1:
+            L_below = L[..., s + block:, s:s + block]          # (..., r, b)
+            rhs = rhs - jnp.matmul(jnp.swapaxes(L_below, -1, -2),
+                                   X[..., s + block:, :], precision=precision)
+        X = X.at[..., s:s + block, :].set(
+            jnp.matmul(jnp.swapaxes(minvs[k], -1, -2), rhs,
+                       precision=precision))
+    return X
+
+
 def _bbc_bwd(block, leaf, precision, diag, L, Lbar):
     # standard analytic Cholesky adjoint (Murray 2016):
-    #   Ā = 0.5 · Mᵀ · sym(Φ(Lᵀ L̄)) · M,  M = L⁻¹
+    #   Ā = 0.5 · sym(L⁻ᵀ · Φ(Lᵀ L̄) · L⁻¹)
+    # The L⁻ᵀ(...)L⁻¹ sandwich runs as TWO blocked upper-triangular
+    # solves with N right-hand sides — NOT via an explicit full-N
+    # recursive triangular inverse, whose unrolled HLO SIGKILLs the
+    # remote TPU compile service at N=4096 under optimizer adjoints
+    # (docs/perf.md).  The diagonal-block inverses are recomputed per
+    # block (bounded recursion each).
     n = L.shape[-1]
     Lt = jnp.swapaxes(L, -1, -2)
     W = jnp.matmul(Lt, Lbar, precision=_HI)
     W = jnp.tril(W) - 0.5 * W * jnp.eye(n, dtype=L.dtype)
-    M = _tri_inv_raw(L, leaf)
-    Mt = jnp.swapaxes(M, -1, -2)
-    Abar = jnp.matmul(Mt, jnp.matmul(W, M, precision=_HI), precision=_HI)
+    if n <= block:
+        M = _tri_inv_raw(L, leaf)
+        Mt = jnp.swapaxes(M, -1, -2)
+        Abar = jnp.matmul(Mt, jnp.matmul(W, M, precision=_HI), precision=_HI)
+        return (0.5 * (Abar + jnp.swapaxes(Abar, -1, -2)),)
+
+    Lp, pad = _pad_spd(L, block)   # identity-extended: still triangular
+    if pad:
+        W = jnp.concatenate([
+            jnp.concatenate([W, jnp.zeros(W.shape[:-2] + (n, pad),
+                                          W.dtype)], -1),
+            jnp.zeros(W.shape[:-2] + (pad, n + pad), W.dtype)], -2)
+    nb = Lp.shape[-1] // block
+    minvs = [_tri_inv_raw(Lp[..., k * block:(k + 1) * block,
+                             k * block:(k + 1) * block], leaf)
+             for k in range(nb)]
+    # T = W L⁻¹  via  Tᵀ = L⁻ᵀ Wᵀ;  then  Ā₀ = L⁻ᵀ T
+    Tt = _solve_upperT_blocked(Lp, minvs, jnp.swapaxes(W, -1, -2))
+    Abar = _solve_upperT_blocked(Lp, minvs, jnp.swapaxes(Tt, -1, -2))
+    if pad:
+        Abar = Abar[..., :n, :n]
     return (0.5 * (Abar + jnp.swapaxes(Abar, -1, -2)),)
 
 

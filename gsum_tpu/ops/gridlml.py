@@ -40,7 +40,7 @@ def batched_cho_solve(L, B, leaf=16):
 
 
 def cgp_lml_grid(Rs, y, basis, center0, disp0, df0, scale0, leaf=16,
-                 engine='unrolled'):
+                 engine='unrolled', block=None):
     R"""ConjugateGaussianProcess lml for a batch of correlation matrices.
 
     Parameters
@@ -63,6 +63,12 @@ def cgp_lml_grid(Rs, y, basis, center0, disp0, df0, scale0, leaf=16,
         for N >~ 1024; it is fully differentiable (custom-VJP
         factorization + custom-VJP diagonal-block inverses), so it also
         serves the batched-fit optimizer objective.
+    block : int, optional — column-block width of the 'blocked' engine
+        (default 128, the forward-sweep optimum).  The engine unrolls
+        N/block factorization steps at trace time, and under an optimizer
+        adjoint the compile service's memory scales with that count —
+        batched_fit passes a larger block at large N to keep the
+        forward+adjoint HLO compilable (docs/perf.md).
 
     Returns
     -------
@@ -92,7 +98,8 @@ def cgp_lml_grid(Rs, y, basis, center0, disp0, df0, scale0, leaf=16,
         from .blockchol import (batched_blocked_cholesky, blocked_cho_solve,
                                 blocked_tri_inv_diag)
 
-        L0 = batched_blocked_cholesky(Rs, block=128)
+        blk = 128 if block is None else int(block)
+        L0 = batched_blocked_cholesky(Rs, block=blk)
     else:
         L0 = batched_small_cholesky(Rs, leaf)
     diag = jnp.diagonal(L0, axis1=-2, axis2=-1)
@@ -106,8 +113,8 @@ def cgp_lml_grid(Rs, y, basis, center0, disp0, df0, scale0, leaf=16,
         # differentiable pair: custom-VJP factorization + custom-VJP
         # diagonal-block inverses (the Pallas-kernel inverses have no VJP)
         L = jax.lax.optimization_barrier(
-            batched_blocked_cholesky(Rs_safe, block=128))
-        minvs = blocked_tri_inv_diag(L, block=128)
+            batched_blocked_cholesky(Rs_safe, block=blk))
+        minvs = blocked_tri_inv_diag(L, block=blk)
     else:
         L = jax.lax.optimization_barrier(batched_small_cholesky(Rs_safe, leaf))
 

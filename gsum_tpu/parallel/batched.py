@@ -293,8 +293,10 @@ def batched_fit(kernel, X, y_batch, center=0, disp=0, df=1, scale=1,
         blocked factorization (``ops.blockchol``, differentiable via
         custom VJPs — the large-N f32 engine); 'scalar' is the vmapped
         scalar lml (XLA batched Cholesky).  'auto' picks 'grid' for
-        N <= 192, 'scan' to N <= 640, then 'blocked' for f32 on TPU and
-        'scalar' otherwise.
+        N <= 192, 'scan' to N <= 640, then 'blocked' for f32 on TPU up
+        to N = 2048, and 'scalar' otherwise (above that the optimizer
+        adjoint of the blocked objective exceeds the remote compile
+        service's limits; docs/perf.md).
     ls_steps : int — linesearch trial points per L-BFGS iteration.  Every
         trial's covariance build + factorization is live simultaneously
         (ls_steps x chunk matrices), so lower this together with ``chunk``
@@ -421,8 +423,13 @@ def _batched_fit_wide(frozen, X, y_batch, basis, starts, lower, upper,
     if engine == 'auto':
         # above the scan engine's range, large f32 lockstep objectives on
         # TPU use the blocked engine (differentiable: custom-VJP
-        # factorization + inverses); f64 stays on the vmapped scalar lml
-        blocked_ok = (dtype == jnp.float32
+        # factorization + inverses); f64 stays on the vmapped scalar lml.
+        # Capped at N=2048: the L-BFGS body holds ~2.3 objective
+        # instantiations (trials forward + value-and-grad), and at N=4096
+        # that SIGKILLs the remote compile service even though the bare
+        # objective gradient compiles (docs/perf.md) — the vmapped scalar
+        # lml (XLA batched Cholesky, compile-light) takes over there.
+        blocked_ok = (dtype == jnp.float32 and N <= 2048
                       and jax.default_backend() == 'tpu')
         grid_engine = ('unrolled' if N <= 192
                        else 'scan' if N <= 640
@@ -431,6 +438,12 @@ def _batched_fit_wide(frozen, X, y_batch, basis, starts, lower, upper,
         grid_engine = {'grid': 'unrolled', 'scan': 'scan',
                        'blocked': 'blocked', 'scalar': None}[engine]
     use_grid_engine = grid_engine is not None
+    # Under the L-BFGS adjoint the blocked engine's compile cost grows
+    # with the unrolled step count; wider blocks at large N keep the
+    # forward+adjoint HLO inside the remote compile service's limits.
+    # Forward-only sweeps keep block=128 (the throughput optimum,
+    # docs/perf.md).
+    fit_block = None if N <= 1024 else 256
     if not use_grid_engine:
         scalar_lml = ConjugateGaussianProcess._make_lml_fn(
             frozen.value_fn, nugget, 'cholesky', c0, V0, df0, scale0)
@@ -451,7 +464,7 @@ def _batched_fit_wide(frozen, X, y_batch, basis, starts, lower, upper,
             Rs = Rs + nugget * jnp.eye(N, dtype=Rs.dtype)
             Rs = jax.lax.optimization_barrier(Rs)
             return -cgp_lml_grid(Rs, Ys_full, basis, c0, V0, df0, scale0,
-                                 engine=grid_engine)
+                                 engine=grid_engine, block=fit_block)
 
         topt, fmin = fixed_lbfgs_bounded_batched(fun_b, T0, lower, upper,
                                                  maxiter=maxiter,

@@ -280,10 +280,11 @@ def test_pointwise_evidence_grid_sharded():
 
 def test_batched_fit_large_n_engine():
     """Auto routing sends N=520 fits to the scan engine ('grid' for
-    N <= 192, 'scan' to N <= 640, then 'blocked' for f32 on TPU and the
-    vmapped scalar lml otherwise — the unrolled grid engine's HLO
-    OOM-kills compilation at large N); results must match per-model MAP
-    fits."""
+    N <= 192, 'scan' to N <= 640, then 'blocked' for f32 on TPU up to
+    N = 2048 and the vmapped scalar lml otherwise — the unrolled grid
+    engine's HLO OOM-kills compilation at large N, and so does the
+    blocked engine's optimizer adjoint past N = 2048); results must
+    match per-model MAP fits."""
     rng = np.random.RandomState(5)
     B, N = 2, 520
     Xl = np.linspace(0.0, 1.0, N)[:, None]
