@@ -172,9 +172,12 @@ def chol_inv_block(A, chunk=None, panel=32, interpret=False, unroll=True):
     A : (B, nb, nb) SPD matrices, float32; nb a multiple of ``panel``
     chunk : batch elements per grid step.  The scoped-VMEM budget is
         ~6·chunk·nb² floats (in + 2 outs, double-buffered across the
-        grid, plus kernel temporaries); default scales as 6·(256/nb)² —
-        6 at nb=256 fits the 16 MB limit with headroom even inside
-        larger fused programs, nb=512 needs chunk=1
+        grid, plus kernel temporaries); default scales as 6·(256/nb)²
+        capped at 16 — 6 at nb=256 fits the 16 MB limit with headroom
+        even inside larger fused programs, nb=512 needs chunk=1, and at
+        nb=128 the uncapped 24 overshoots the limit by ~1%
+        (measured 16.14M at batch 48 inside the L-BFGS objective) while
+        16 is the proven headline-bench configuration
     panel : in-kernel panel width (multiple of the 8-sublane tile)
     interpret : run in Pallas interpreter mode (for CPU tests)
     unroll : unroll the per-panel rank-1 loops (default True — the serial
@@ -192,7 +195,7 @@ def chol_inv_block(A, chunk=None, panel=32, interpret=False, unroll=True):
         raise ValueError('block size %d must be a multiple of panel %d'
                          % (nb, panel))
     if chunk is None:
-        chunk = max(2, int(6 * (256 / nb) ** 2))
+        chunk = max(2, min(int(6 * (256 / nb) ** 2), 16))
     # chunk >= 2: a degenerate (1, nb, nb) grid block crashes this
     # toolchain's TPU compiler (see ops.fusedchol); B=1 pads to 2
     chunk = max(2, min(chunk, B))
