@@ -16,19 +16,67 @@ import jax
 if not os.environ.get("GSUM_TPU_NO_X64"):
     jax.config.update("jax_enable_x64", True)
 
-# XLA compiles are expensive (seconds each for special-function graphs);
-# persist them across processes.  Opt out with GSUM_TPU_NO_COMPILE_CACHE=1.
+# XLA compiles are expensive (minutes each through this box's remote TPU
+# compile service); persist them across processes.  Opt out with
+# GSUM_TPU_NO_COMPILE_CACHE=1 — which tests/conftest.py does: XLA:CPU
+# executable AOT (de)serialization is unreliable on this machine (the
+# loader logs a compile-vs-host feature mismatch warning about SIGILL on
+# every cross-process hit, and three suite runs crashed natively inside
+# the cache get/put path), so the CPU suite runs cacheless.  An
+# already-configured cache dir is respected.
 if not os.environ.get("GSUM_TPU_NO_COMPILE_CACHE"):
-    _cache_dir = os.environ.get(
-        "GSUM_TPU_COMPILE_CACHE_DIR",
-        os.path.join(os.path.expanduser("~"), ".cache", "gsum_tpu_jax"),
-    )
+    _cache_dir = os.environ.get("GSUM_TPU_COMPILE_CACHE_DIR")
+    if _cache_dir is None and jax.config.jax_compilation_cache_dir is None:
+        _cache_dir = os.path.join(
+            os.path.expanduser("~"), ".cache", "gsum_tpu_jax")
+    if _cache_dir is not None:
+        try:
+            os.makedirs(_cache_dir, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", _cache_dir)
+            jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              0.0)
+        except Exception:  # pragma: no cover — cache is best-effort
+            pass
+
+    # jax's LRUCache.put writes entries with a bare Path.write_bytes —
+    # NOT atomic.  A process killed mid-write (timeout SIGTERM/SIGKILL, a
+    # crash) leaves a truncated entry, and a later reader hands the
+    # truncated bytes to the native zstd/executable deserializer, which
+    # crashes the process (observed on this machine: SIGSEGV in
+    # compilation_cache.get_executable_and_time and SIGABRT in the same
+    # path, from entries left by killed runs).  Patch the write to the
+    # standard temp-file + os.replace dance so entries are all-or-nothing.
     try:
-        os.makedirs(_cache_dir, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", _cache_dir)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-    except Exception:  # pragma: no cover — cache is best-effort
+        from jax._src import lru_cache as _lru
+
+        if not getattr(_lru.LRUCache, "_gsum_atomic_put", False):
+            _orig_put = _lru.LRUCache.put
+
+            def _atomic_write_bytes(path, data):
+                tmp = path.with_name(
+                    path.name + ".tmp-%d" % os.getpid())
+                tmp.write_bytes(data)
+                os.replace(tmp, path)
+
+            def _put(self, key, val):
+                import pathlib
+
+                class _AtomicPath(type(pathlib.Path())):
+                    def write_bytes(p, data):
+                        return _atomic_write_bytes(pathlib.Path(str(p)),
+                                                   data)
+
+                orig_path = self.path
+                try:
+                    self.path = _AtomicPath(str(orig_path))
+                    return _orig_put(self, key, val)
+                finally:
+                    self.path = orig_path
+
+            _lru.LRUCache.put = _put
+            _lru.LRUCache._gsum_atomic_put = True
+    except Exception:  # pragma: no cover — hardening is best-effort
         pass
 
 

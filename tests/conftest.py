@@ -18,9 +18,36 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
-# Persistent compilation cache: compiles dominate test wall-clock on this
-# box (~1s each), so reuse them across pytest runs and processes.
-_CACHE_DIR = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
-jax.config.update("jax_compilation_cache_dir", os.path.abspath(_CACHE_DIR))
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+# NO persistent compilation cache for the suite.  XLA:CPU executable
+# AOT (de)serialization is unreliable on this box: every cross-process
+# cache hit logs a compile-vs-host machine-feature mismatch
+# (cpu_aot_loader.cc: "+prefer-no-scatter is not supported on the host
+# machine ... could lead to execution errors such as SIGILL"), and
+# full-suite runs crashed natively inside exactly that path (SIGSEGV in
+# get_executable_and_time, SIGSEGV in put_executable_and_time /
+# executable.serialize, SIGABRT in get) while the same tests pass
+# standalone.  The in-process jit cache is unaffected.  The TPU cache
+# (a different, data-only serialization that has been reliable here)
+# stays enabled for normal library use via gsum_tpu._config — the env
+# var below opts the suite and its subprocess tests out.
+os.environ.setdefault("GSUM_TPU_NO_COMPILE_CACHE", "1")
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _unmap_compiled_executables_per_module():
+    """Releases compiled executables after each test module.
+
+    Every XLA:CPU compile pins multiple memory mappings (JIT code pages)
+    for as long as the executable lives, and jit caches keep them alive
+    for the whole process: a full-suite run was measured crossing 22k
+    mappings at 60% with the kernel's vm.max_map_count at 65,530.  Once
+    mmap starts failing, native code crashes in whatever allocates next
+    — observed as SIGSEGV inside XLA compilation at ~99% of the suite
+    (and earlier in cache (de)serialization), while the same tests pass
+    standalone.  Dropping the caches at module boundaries keeps the
+    mapping count bounded; anything still needed simply recompiles.
+    """
+    yield
+    jax.clear_caches()
