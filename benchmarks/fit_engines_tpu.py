@@ -5,17 +5,31 @@ including the remote compile; warm = second call with identical shapes,
 served by the in-process executable cache) for the engines that the auto
 router chooses at each size:
 
-  - N=1024, N=2048: 'blocked' (the differentiable blocked engine,
-    custom-VJP factorization + blocked-substitution Cholesky adjoint)
-    vs 'scalar' (vmapped scalar lml on XLA's batched Cholesky).
+  - N=1024: 'blocked' (the differentiable blocked engine, custom-VJP
+    factorization + blocked-substitution Cholesky adjoint) vs 'scalar'
+    (vmapped scalar lml on XLA's batched Cholesky).  Measured: scalar
+    wins 3x warm / 7x cold — auto keeps scalar through N=1024.
+  - N=2048: 'blocked' only — 'scalar' at ls_steps=10 OOMs the 16 GB
+    HBM (the linesearch materializes ls_steps*B (N, N) covariance
+    temps at once; 15.8 GB program measured).  This window,
+    1024 < N <= 2048, is where auto routes to 'blocked'.
   - N=4096: 'scalar' only — the blocked objective's *bare* gradient
     compiles (measured 659 s), but the L-BFGS scan body holds ~2.3
     objective instantiations (linesearch trials forward at ls_steps*B
     plus value-and-grad at B) and the remote compile helper is
-    OOM-SIGKILLed; auto therefore routes N>2048 fits to 'scalar'.
+    OOM-SIGKILLed; auto therefore routes N>2048 fits to 'scalar'
+    (with chunk/ls_steps shrunk to fit HBM).
 
-Every fit's reported lml is checked finite; blocked-vs-scalar theta
-agreement is asserted at N<=2048.
+Correctness check: at maxiter=6 (a timing configuration, not a
+convergence one) the two engines' optimizer paths land in different
+basins (observed: 9% theta spread, up to 46 nats of achieved-lml
+spread at N=1024), so cross-engine equality is not a valid assertion.
+What IS asserted, per engine: the reported lml is *self-consistent* —
+it matches an independent scalar-path evaluation
+(``ConjugateGaussianProcess.log_marginal_likelihood``) at the engine's
+own reported theta to f32 accuracy.  That validates the engine's lml
+values (the quantity the optimizer actually consumed) without assuming
+anything about where six L-BFGS steps stop.
 
 Run: python benchmarks/fit_engines_tpu.py
 Env: GSUM_FIT_ENGINES_LEGS=12 (default '123') to select size legs.
@@ -39,7 +53,9 @@ def main():
     results = {}
     legs = os.environ.get('GSUM_FIT_ENGINES_LEGS', '123')
 
-    def run(tag, N, B, engine, chunk, ls_steps, check=None):
+    def run(tag, N, B, engine, chunk, ls_steps):
+        from gsum_tpu import ConjugateGaussianProcess
+
         X = np.linspace(0.0, 1.0, N)[:, None].astype(np.float32)
         y = (np.sin(3.0 * X.T + rng.rand(B, 1) * 6.28)
              + 0.1 * rng.randn(B, N)).astype(np.float32)
@@ -57,17 +73,28 @@ def main():
         results[tag + '_cold_s'] = round(cold, 1)
         results[tag + '_warm_s'] = round(warm, 2)
         print(json.dumps(results), flush=True)
-        if check is not None:
-            np.testing.assert_allclose(np.asarray(post.theta),
-                                       np.asarray(check.theta), atol=1e-3)
+        # self-consistency: the engine's reported lml must equal the
+        # scalar path's lml at the engine's own theta (f32 accuracy)
+        theta = np.asarray(post.theta)
+        for i in range(B):
+            gp = ConjugateGaussianProcess(
+                kernel=RBF(0.5, (1e-2, 1e2)), df=3, scale=1,
+                nugget=1e-2, optimizer=None).fit(X, y[i])
+            ref = float(np.asarray(gp.log_marginal_likelihood(theta[i])))
+            np.testing.assert_allclose(
+                lml[i], ref, rtol=5e-4,
+                err_msg='%s engine lml not self-consistent (fit %d)'
+                        % (tag, i))
         return post
 
     if '1' in legs:
-        p = run('fit_B4_N1024_blocked', 1024, 4, 'blocked', 128, 10)
-        run('fit_B4_N1024_scalar', 1024, 4, 'scalar', 128, 10, check=p)
+        run('fit_B4_N1024_blocked', 1024, 4, 'blocked', 128, 10)
+        run('fit_B4_N1024_scalar', 1024, 4, 'scalar', 128, 10)
     if '2' in legs:
-        p = run('fit_B4_N2048_blocked', 2048, 4, 'blocked', 128, 10)
-        run('fit_B4_N2048_scalar', 2048, 4, 'scalar', 128, 10, check=p)
+        run('fit_B4_N2048_blocked', 2048, 4, 'blocked', 128, 10)
+        # N=2048 'scalar' at these settings OOMs the 16 GB HBM (15.8 GB
+        # program: the linesearch holds ls_steps*B (N, N) covariance
+        # temps at once) — that window is why auto routes to 'blocked'.
     if '3' in legs:
         run('fit_B8_N4096_scalar', 4096, 8, 'scalar', 1, 5)
     print(json.dumps(results))

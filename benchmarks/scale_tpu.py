@@ -8,7 +8,9 @@ sweep".  This script measures each leg at production scale:
      (chunked lockstep L-BFGS on the explicitly-batched grid engine;
      chunking respects the tunneled worker's single-execution limit.
      Auto routing: fits use 'grid' for N <= 192, 'scan' to N <= 640,
-     the vmapped scalar engine above — see parallel.batched_fit)
+     the vmapped scalar engine to N <= 1024, 'blocked' to N <= 2048,
+     scalar above — see parallel.batched_fit and
+     benchmarks/fit_engines_tpu.py for the measurements)
   2. hyperparameter-grid logpdf sweep: 10,240 lml evaluations at N=512
      with a 2D kernel (scan engine, ops.scanchol: O(1) compile size;
      6.1 ms/eval steady-state, 8.8x the vmapped scalar path)

@@ -293,10 +293,14 @@ def batched_fit(kernel, X, y_batch, center=0, disp=0, df=1, scale=1,
         blocked factorization (``ops.blockchol``, differentiable via
         custom VJPs — the large-N f32 engine); 'scalar' is the vmapped
         scalar lml (XLA batched Cholesky).  'auto' picks 'grid' for
-        N <= 192, 'scan' to N <= 640, then 'blocked' for f32 on TPU up
-        to N = 2048, and 'scalar' otherwise (above that the optimizer
-        adjoint of the blocked objective exceeds the remote compile
-        service's limits; docs/perf.md).
+        N <= 192, 'scan' to N <= 640, 'scalar' to N <= 1024 (measured
+        3x faster than blocked there — XLA's native Cholesky adjoint
+        beats the blocked custom VJP at mid-size N), 'blocked' for f32
+        on TPU up to N = 2048 (the scalar linesearch OOMs HBM at that
+        size; the blocked objective is leaner and runs), and 'scalar'
+        otherwise (above that the optimizer adjoint of the blocked
+        objective exceeds the remote compile service's limits;
+        docs/perf.md).
     ls_steps : int — linesearch trial points per L-BFGS iteration.  Every
         trial's covariance build + factorization is live simultaneously
         (ls_steps x chunk matrices), so lower this together with ``chunk``
@@ -400,6 +404,44 @@ def batched_fit(kernel, X, y_batch, center=0, disp=0, df=1, scale=1,
                              engine, ls_steps)
 
 
+def _auto_fit_engine(dtype, N, backend):
+    """Measured engine routing for the lockstep MAP-fit objective
+    (benchmarks/fit_engines_tpu.py; docs/perf.md round-3 table).
+
+    Returns the internal grid-engine name, or None for the vmapped
+    scalar lml:
+
+    - N <= 192: 'unrolled' — the explicitly-batched evaluator (XLA's
+      batched small-N Cholesky is latency-bound ~20x slower), whose
+      forward+adjoint HLO however grows with N until the remote compile
+      service grinds or is OOM-killed (observed at N=256);
+    - N <= 640: 'scan' — same formulation at O(1) compile size;
+    - N <= 1024: scalar — XLA's batched Cholesky + native adjoint wins
+      outright here: B=4 N=1024 ls_steps=10 fits measure 14.0 s warm /
+      100 s cold vs the blocked engine's 43.5 s / 694 s (the blocked
+      custom-VJP adjoint — two blocked N-RHS triangular solves plus a
+      full GEMM — is ~9x the forward FLOPs);
+    - N <= 2048, f32 on TPU: 'blocked' — its window: the scalar
+      objective's linesearch materializes ls_steps*chunk (N, N)
+      covariance temps at once and OOMs the 16 GB HBM at N=2048
+      (measured 15.8 GB program), while the leaner blocked objective
+      compiles and runs (95.9 s warm, B=4);
+    - above (and all f64): scalar — the blocked optimizer adjoint
+      SIGKILLs the remote compile service at N=4096 even though the
+      bare objective gradient compiles; shrink chunk/ls_steps to fit
+      HBM there (chunk=1, ls_steps=5 measured at N=4096).
+    """
+    if N <= 192:
+        return 'unrolled'
+    if N <= 640:
+        return 'scan'
+    if N <= 1024:
+        return None
+    if N <= 2048 and dtype == jnp.float32 and backend == 'tpu':
+        return 'blocked'
+    return None
+
+
 def _batched_fit_wide(frozen, X, y_batch, basis, starts, lower, upper,
                       c0, V0, df0, scale0, nugget, maxiter, chunk,
                       engine='auto', ls_steps=10, t0_per_fit=None):
@@ -410,30 +452,11 @@ def _batched_fit_wide(frozen, X, y_batch, basis, starts, lower, upper,
     Rstarts = starts.shape[0]
     dtype = X.dtype
 
-    # engine selection: the explicitly-batched evaluator's unrolled
-    # recursion is the win at small N (XLA's batched small-N Cholesky is
-    # latency-bound ~20x slower there) but its forward+adjoint HLO under
-    # the L-BFGS scan grows with N until the remote compile service grinds
-    # or is OOM-killed (observed at N=256); the scan engine keeps the
-    # batched formulation at O(1) compile size up to mid-size N; the
-    # vmapped scalar lml is the compile-light large-N fallback.
     if engine not in ('auto', 'grid', 'scan', 'blocked', 'scalar'):
         raise ValueError(
             "engine must be 'auto', 'grid', 'scan', 'blocked', or 'scalar'")
     if engine == 'auto':
-        # above the scan engine's range, large f32 lockstep objectives on
-        # TPU use the blocked engine (differentiable: custom-VJP
-        # factorization + inverses); f64 stays on the vmapped scalar lml.
-        # Capped at N=2048: the L-BFGS body holds ~2.3 objective
-        # instantiations (trials forward + value-and-grad), and at N=4096
-        # that SIGKILLs the remote compile service even though the bare
-        # objective gradient compiles (docs/perf.md) — the vmapped scalar
-        # lml (XLA batched Cholesky, compile-light) takes over there.
-        blocked_ok = (dtype == jnp.float32 and N <= 2048
-                      and jax.default_backend() == 'tpu')
-        grid_engine = ('unrolled' if N <= 192
-                       else 'scan' if N <= 640
-                       else 'blocked' if blocked_ok else None)
+        grid_engine = _auto_fit_engine(dtype, N, jax.default_backend())
     else:
         grid_engine = {'grid': 'unrolled', 'scan': 'scan',
                        'blocked': 'blocked', 'scalar': None}[engine]

@@ -278,12 +278,39 @@ def test_pointwise_evidence_grid_sharded():
     np.testing.assert_allclose(ev_sharded, want, rtol=1e-10)
 
 
+def test_auto_fit_engine_thresholds():
+    """The measured fit-engine routing table (benchmarks/fit_engines_tpu.py,
+    docs/perf.md round 3): grid to 192, scan to 640, scalar to 1024,
+    blocked (f32 + TPU only) to 2048, scalar above and for every f64 /
+    non-TPU case."""
+    from gsum_tpu.parallel.batched import _auto_fit_engine
+
+    f32, f64 = jnp.float32, jnp.float64
+    assert _auto_fit_engine(f32, 128, 'tpu') == 'unrolled'
+    assert _auto_fit_engine(f64, 192, 'cpu') == 'unrolled'
+    assert _auto_fit_engine(f32, 520, 'tpu') == 'scan'
+    assert _auto_fit_engine(f64, 640, 'cpu') == 'scan'
+    # scalar window: XLA's native adjoint beats the blocked custom VJP
+    assert _auto_fit_engine(f32, 1024, 'tpu') is None
+    assert _auto_fit_engine(f32, 768, 'tpu') is None
+    # blocked window: the scalar linesearch OOMs HBM here
+    assert _auto_fit_engine(f32, 1025, 'tpu') == 'blocked'
+    assert _auto_fit_engine(f32, 2048, 'tpu') == 'blocked'
+    # f64 and non-TPU never route to blocked
+    assert _auto_fit_engine(f64, 2048, 'tpu') is None
+    assert _auto_fit_engine(f32, 2048, 'cpu') is None
+    # past the blocked adjoint's compile limit: scalar
+    assert _auto_fit_engine(f32, 4096, 'tpu') is None
+
+
 def test_batched_fit_large_n_engine():
     """Auto routing sends N=520 fits to the scan engine ('grid' for
-    N <= 192, 'scan' to N <= 640, then 'blocked' for f32 on TPU up to
-    N = 2048 and the vmapped scalar lml otherwise — the unrolled grid
-    engine's HLO OOM-kills compilation at large N, and so does the
-    blocked engine's optimizer adjoint past N = 2048); results must
+    N <= 192, 'scan' to N <= 640, the vmapped scalar lml to N <= 1024,
+    then 'blocked' for f32 on TPU up to N = 2048, scalar again above —
+    the unrolled grid engine's HLO OOM-kills compilation at large N,
+    the scalar linesearch OOMs HBM at N = 2048, and the blocked
+    engine's optimizer adjoint SIGKILLs the compile service past
+    N = 2048; measured in benchmarks/fit_engines_tpu.py); results must
     match per-model MAP fits."""
     rng = np.random.RandomState(5)
     B, N = 2, 520
@@ -465,7 +492,11 @@ def test_lml_grid_blocked_engine_matches_loop():
 def test_blocked_engine_differentiable_and_fits():
     """The blocked grid engine's VJP (custom-VJP factorization +
     custom-VJP diagonal-block inverses) matches the scalar lml's gradient,
-    and batched_fit(engine='blocked') reaches the same MAP."""
+    and batched_fit(engine='blocked') reaches the same MAP.
+
+    (This test's L-BFGS executable is the one XLA:CPU's native
+    (de)serialization crashed on inside full-suite runs — the reason
+    conftest.py disables the persistent compile cache for the suite.)"""
     import jax.numpy as jnp2
 
     from gsum_tpu.ops.gridlml import cgp_lml_grid
