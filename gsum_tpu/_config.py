@@ -39,45 +39,46 @@ if not os.environ.get("GSUM_TPU_NO_COMPILE_CACHE"):
         except Exception:  # pragma: no cover — cache is best-effort
             pass
 
-    # jax's LRUCache.put writes entries with a bare Path.write_bytes —
-    # NOT atomic.  A process killed mid-write (timeout SIGTERM/SIGKILL, a
-    # crash) leaves a truncated entry, and a later reader hands the
-    # truncated bytes to the native zstd/executable deserializer, which
-    # crashes the process (observed on this machine: SIGSEGV in
-    # compilation_cache.get_executable_and_time and SIGABRT in the same
-    # path, from entries left by killed runs).  Patch the write to the
-    # standard temp-file + os.replace dance so entries are all-or-nothing.
-    try:
-        from jax._src import lru_cache as _lru
+# jax's LRUCache.put writes entries with a bare Path.write_bytes — NOT
+# atomic.  A process killed mid-write (timeout SIGTERM/SIGKILL, a crash)
+# leaves a truncated entry, and a later reader hands the truncated bytes
+# to the native zstd/executable deserializer, which crashes the process
+# (observed on this machine: SIGSEGV in
+# compilation_cache.get_executable_and_time and SIGABRT in the same
+# path, from entries left by killed runs).  Patch the write to the
+# standard temp-file + os.replace dance so entries are all-or-nothing.
+# Applied even when THIS process opts out of the cache
+# (GSUM_TPU_NO_COMPILE_CACHE): the patch is inert unless jax writes an
+# entry, and it protects any cache dir this interpreter later enables.
+try:
+    from jax._src import lru_cache as _lru
 
-        if not getattr(_lru.LRUCache, "_gsum_atomic_put", False):
-            _orig_put = _lru.LRUCache.put
+    if not getattr(_lru.LRUCache, "_gsum_atomic_put", False):
+        _orig_put = _lru.LRUCache.put
 
-            def _atomic_write_bytes(path, data):
-                tmp = path.with_name(
-                    path.name + ".tmp-%d" % os.getpid())
-                tmp.write_bytes(data)
-                os.replace(tmp, path)
+        def _atomic_write_bytes(path, data):
+            tmp = path.with_name(path.name + ".tmp-%d" % os.getpid())
+            tmp.write_bytes(data)
+            os.replace(tmp, path)
 
-            def _put(self, key, val):
-                import pathlib
+        def _put(self, key, val):
+            import pathlib
 
-                class _AtomicPath(type(pathlib.Path())):
-                    def write_bytes(p, data):
-                        return _atomic_write_bytes(pathlib.Path(str(p)),
-                                                   data)
+            class _AtomicPath(type(pathlib.Path())):
+                def write_bytes(p, data):
+                    return _atomic_write_bytes(pathlib.Path(str(p)), data)
 
-                orig_path = self.path
-                try:
-                    self.path = _AtomicPath(str(orig_path))
-                    return _orig_put(self, key, val)
-                finally:
-                    self.path = orig_path
+            orig_path = self.path
+            try:
+                self.path = _AtomicPath(str(orig_path))
+                return _orig_put(self, key, val)
+            finally:
+                self.path = orig_path
 
-            _lru.LRUCache.put = _put
-            _lru.LRUCache._gsum_atomic_put = True
-    except Exception:  # pragma: no cover — hardening is best-effort
-        pass
+        _lru.LRUCache.put = _put
+        _lru.LRUCache._gsum_atomic_put = True
+except Exception:  # pragma: no cover — hardening is best-effort
+    pass
 
 
 def default_dtype():

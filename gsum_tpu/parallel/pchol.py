@@ -29,6 +29,14 @@ The companion :func:`sharded_mvn_lml` finishes the job distributedly:
 blocked forward substitution over the shard sequence plus a ``psum`` of
 the local log-determinant and Mahalanobis contributions.
 
+Validated exact-vs-dense on the 8-virtual-device CPU mesh at N=4096
+(tests/test_parallel.py) and N=8192 (one-off, round 3): agreement
+2.5e-10 relative at |lml| ~ 4e9 on a deliberately ill-conditioned RBF
+grid — i.e. f64 accumulation-order level.  (On the 1-core CPU host the
+8-shard emulation is of course slower than the dense solve — 132 s vs
+18 s at N=8192; the path exists for real multi-chip meshes where each
+shard has its own compute and HBM.)
+
 This replaces nothing in the reference — gsum is a single-process NumPy
 library (reference gsum/models.py:969 does one LAPACK potrf); the sharded
 path is what makes the N=8k-16k configs of BASELINE.md first-class.
