@@ -198,7 +198,15 @@ def main():
     if small:
         B, N = 4, 1024
 
-    gflops, dt_blocked = bench_tpu(B, N, d, m, method='blocked')
+    # one bounded retry on the headline leg: the tunneled TPU worker
+    # occasionally drops a single execution (observed crashes/hangs on
+    # this box), and a transient failure here would cost the whole
+    # benchmark record
+    try:
+        gflops, dt_blocked = bench_tpu(B, N, d, m, method='blocked')
+    except Exception:
+        time.sleep(10)
+        gflops, dt_blocked = bench_tpu(B, N, d, m, method='blocked')
     base_gflops = bench_reference_stack(N, d, m)
 
     # driver-visible regression guards for the rest of the perf story

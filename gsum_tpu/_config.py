@@ -39,6 +39,35 @@ if not os.environ.get("GSUM_TPU_NO_COMPILE_CACHE"):
         except Exception:  # pragma: no cover — cache is best-effort
             pass
 
+# XLA:CPU executable AOT (de)serialization is unreliable on this
+# machine: cross-process cache hits load executables whose recorded
+# machine features don't match the host (the loader warns about SIGILL)
+# and several full runs crashed natively inside the cache get/put path,
+# while TPU entries (serialized by the remote compile service) have been
+# solid.  Gate the persistent cache per backend: CPU compiles skip it
+# entirely (jax consults ``compilation_cache.is_cache_used(backend)``
+# before both lookup and write — returning False there is the supported
+# off-switch).  This protects any process that switches to the CPU
+# backend after import (tests, the driver's multichip dryrun) without
+# giving up the cache for TPU work in the same interpreter.  Opt back in
+# with GSUM_TPU_CPU_COMPILE_CACHE=1.
+if not os.environ.get("GSUM_TPU_CPU_COMPILE_CACHE"):
+    try:
+        from jax._src import compilation_cache as _cc
+
+        if not getattr(_cc, "_gsum_cpu_cache_guard", False):
+            _orig_is_cache_used = _cc.is_cache_used
+
+            def _is_cache_used(backend):
+                if getattr(backend, "platform", None) == "cpu":
+                    return False
+                return _orig_is_cache_used(backend)
+
+            _cc.is_cache_used = _is_cache_used
+            _cc._gsum_cpu_cache_guard = True
+    except Exception:  # pragma: no cover — hardening is best-effort
+        pass
+
 # jax's LRUCache.put writes entries with a bare Path.write_bytes — NOT
 # atomic.  A process killed mid-write (timeout SIGTERM/SIGKILL, a crash)
 # leaves a truncated entry, and a later reader hands the truncated bytes

@@ -105,3 +105,27 @@ def test_config_respects_preexisting_cache_dir(tmp_path):
                          capture_output=True, text=True, timeout=240)
     assert out.returncode == 0, out.stderr
     assert "OK" in out.stdout
+
+
+def test_cpu_backend_skips_persistent_cache():
+    """The persistent compile cache must be OFF for CPU backends: XLA:CPU
+    executable AOT (de)serialization is unreliable on this machine (loader
+    feature-mismatch warnings, native crashes in the cache get/put path —
+    see .claude/skills/verify/SKILL.md), while TPU entries are solid."""
+    from jax._src import compilation_cache as cc
+
+    assert getattr(cc, "_gsum_cpu_cache_guard", False), (
+        "gsum_tpu._config did not install the per-backend cache guard")
+
+    class _FakeBackend:
+        platform = "cpu"
+
+    assert cc.is_cache_used(_FakeBackend()) is False
+
+    # non-CPU backends still go through jax's own decision logic: the
+    # guard must delegate, not hard-code an answer
+    class _FakeTpu:
+        platform = "tpu"
+        platform_version = "fake"
+
+    assert cc.is_cache_used(_FakeTpu()) in (True, False)
