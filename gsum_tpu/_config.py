@@ -83,6 +83,8 @@ try:
     from jax._src import lru_cache as _lru
 
     if not getattr(_lru.LRUCache, "_gsum_atomic_put", False):
+        import pathlib
+
         _orig_put = _lru.LRUCache.put
 
         def _atomic_write_bytes(path, data):
@@ -90,19 +92,21 @@ try:
             tmp.write_bytes(data)
             os.replace(tmp, path)
 
+        class _AtomicPath(type(pathlib.Path())):
+            def write_bytes(p, data):
+                return _atomic_write_bytes(pathlib.Path(str(p)), data)
+
         def _put(self, key, val):
-            import pathlib
-
-            class _AtomicPath(type(pathlib.Path())):
-                def write_bytes(p, data):
-                    return _atomic_write_bytes(pathlib.Path(str(p)), data)
-
-            orig_path = self.path
-            try:
-                self.path = _AtomicPath(str(orig_path))
-                return _orig_put(self, key, val)
-            finally:
-                self.path = orig_path
+            # swap self.path to the atomic-writing subclass ONCE and leave
+            # it (child paths derived via `/` keep the subclass).  An
+            # earlier version swapped it around each _orig_put call with a
+            # try/finally restore, but puts can race from two compile
+            # threads and one thread's restore would hand the other a
+            # plain Path mid-write — reintroducing the bare write_bytes
+            # this patch exists to remove.
+            if not isinstance(self.path, _AtomicPath):
+                self.path = _AtomicPath(str(self.path))
+            return _orig_put(self, key, val)
 
         _lru.LRUCache.put = _put
         _lru.LRUCache._gsum_atomic_put = True

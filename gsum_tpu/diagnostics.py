@@ -522,7 +522,10 @@ class GraphicalDiagnostic:
                 return c, _conj.compute_cov_factor(s2, df)
 
             centers, cov_factors = jax.jit(jax.vmap(upd))(Y2)
-            thetas = jnp.zeros((B, 0), dtype=Xj.dtype)
+            # every draw shares the unoptimized kernel θ — which is NOT
+            # necessarily empty (optimizer=None with free parameters
+            # lands here too, and value_fn still indexes θ)
+            thetas = jnp.broadcast_to(theta0, (B,) + theta0.shape)
             chols = jnp.broadcast_to(L0, (B,) + L0.shape)
 
         def one(theta, center, cov_factor, chol, y2):

@@ -860,7 +860,10 @@ class ConjugateStudentProcess(BaseConjugateProcess):
             (reference models.py:1241-1247).  df_ is always concrete
             (df0 + shape count), so its gammaln runs on the host — a 0-d
             device transcendental constant-folds at f32 on this TPU."""
-            if isinstance(df_, (int, float, np.floating)):
+            # compute_df returns df0 + np.prod(y.shape): an np.integer for
+            # the default integer df0 — include it, or the posterior-df
+            # gammaln silently falls back to the folding device op
+            if isinstance(df_, (int, float, np.floating, np.integer)):
                 from scipy.special import gammaln as _g_host
                 g = float(_g_host(df_ / 2.))
             else:
@@ -1328,7 +1331,10 @@ class TruncationPointwise:
         n = coeffs.shape[-1]
         log_like = float(gammaln(nu / 2.)) - 0.5 * n * _LOG_2PI
         if df0 > 0:  # the scale-invariant prior df0=0 drops its normalization
-            log_like += 0.5 * df0 * float(np.log(df0 * scale0 ** 2 / 2.)) \
+            # scale0 may be per-point (reference sums it: models.py:1795);
+            # df0/scale0 are concrete, so this stays host-side numpy
+            log_like += 0.5 * float(np.sum(
+                df0 * np.log(df0 * np.asarray(scale0) ** 2 / 2.))) \
                 - float(gammaln(df0 / 2.))
         log_like -= 0.5 * jnp.sum(nu * jnp.log(nu * tau ** 2 / 2.))
         log_like -= jnp.sum(jnp.log(jnp.abs(ref))

@@ -83,7 +83,7 @@ def batched_mvn_logpdf(K, diff):
 @partial(jax.jit, static_argnames=('method', 'precision', 'diag', 'block'))
 def batched_chol_logpdf(X, y, length_scale, amplitude, noise, method='auto',
                         precision=jax.lax.Precision.HIGHEST, diag='auto',
-                        block=128):
+                        block=None):
     R"""Fused pipeline: covariance build → Cholesky → MVN logpdf.
 
     The benchmark configuration of BASELINE.json: every argument may carry
@@ -94,13 +94,15 @@ def batched_chol_logpdf(X, y, length_scale, amplitude, noise, method='auto',
     X : (B, N, d)
     y : (B, N, m)
     length_scale, amplitude, noise : scalars or (B,)-broadcastable
-    method : 'auto' | 'blocked' | 'xla' — factorization engine.  'blocked'
-        is the GEMM-dominated left-looking factorization
-        (``ops.blockchol``), ~12% faster than XLA's native batched
-        Cholesky at the N=4096 headline size at equal (full-f32)
-        accuracy, ~25% at ``Precision.HIGH``; 'auto' selects it for
-        N > 512.
+    method : 'auto' | 'blocked' | 'fused' | 'xla' — factorization engine.
+        'blocked' is the GEMM-dominated left-looking factorization
+        (``ops.blockchol``), 2.15x XLA's native batched-Cholesky pipeline
+        at the N=4096 headline size at equal (full-f32) accuracy; 'fused'
+        is the single-kernel Pallas frontier (``ops.fusedchol``); 'auto'
+        selects 'blocked' for N > 512.
     precision : MXU precision for the blocked factorization's GEMMs
+    block : column-block width, or None for the selected engine's
+        measured optimum (blocked: 128, fused: 256)
 
     Returns
     -------
@@ -117,17 +119,18 @@ def batched_chol_logpdf(X, y, length_scale, amplitude, noise, method='auto',
     if method == 'auto':
         method = 'blocked' if N > 512 else 'xla'
     if method == 'fused':
-        # the single-kernel HBM-resident Pallas factorization (its own
-        # block default differs from the XLA driver's)
+        # the single-kernel HBM-resident Pallas factorization; an explicit
+        # block is honored, the per-engine default differs from the XLA
+        # driver's (256 is the fused kernel's measured optimum)
         from .fusedchol import fused_chol_solve_logdet
 
-        w, logdet = fused_chol_solve_logdet(K, y)
+        w, logdet = fused_chol_solve_logdet(K, y, block=block or 256)
         maha = jnp.sum(w * w, axis=-2)
         return -0.5 * (maha + logdet[..., None] + N * _LOG_2PI)
     if method == 'blocked':
         # batch-leading (NOT vmapped: the small-chol leaf scatters would
         # vectorize badly under vmap; these ops take the batch directly)
-        w, logdet = blocked_chol_solve_logdet(K, y, block=block,
+        w, logdet = blocked_chol_solve_logdet(K, y, block=block or 128,
                                               precision=precision,
                                               diag=diag)
         maha = jnp.sum(w * w, axis=-2)

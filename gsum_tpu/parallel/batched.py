@@ -442,6 +442,22 @@ def _auto_fit_engine(dtype, N, backend):
     return None
 
 
+def _scalar_chunk_cap(N, ls_steps, dtype):
+    """HBM-aware chunk bound for the vmapped-scalar fit objective.
+
+    The scalar objective's lockstep linesearch keeps ls_steps*chunk
+    covariance builds + factorizations live at once — measured ~24
+    (N, N)-sized temps per live element (ls_steps=10 x chunk=2 at N=4096
+    f32 wanted ~32 GB HBM; docs/perf.md), so the default chunk=128 OOMs
+    the 16 GB chip from N≈1500 up, and the f64 polish leg of
+    ``precision='mixed'`` doubles the bytes at exactly the sizes the
+    blocked f32 window hands it.  Budget a ~12 GB working set; callers
+    only shrink (an explicit smaller chunk is always respected).
+    """
+    live_bytes = 24 * N * N * jnp.dtype(dtype).itemsize * max(ls_steps, 1)
+    return max(1, int(12e9 // live_bytes))
+
+
 def _batched_fit_wide(frozen, X, y_batch, basis, starts, lower, upper,
                       c0, V0, df0, scale0, nugget, maxiter, chunk,
                       engine='auto', ls_steps=10, t0_per_fit=None):
@@ -470,6 +486,8 @@ def _batched_fit_wide(frozen, X, y_batch, basis, starts, lower, upper,
     if not use_grid_engine:
         scalar_lml = ConjugateGaussianProcess._make_lml_fn(
             frozen.value_fn, nugget, 'cholesky', c0, V0, df0, scale0)
+        if jax.default_backend() == 'tpu' and chunk is not None:
+            chunk = min(chunk, _scalar_chunk_cap(N, ls_steps, dtype))
 
     def run_chunk(Ys, T0):
         def fun_b(Thetas):

@@ -129,3 +129,36 @@ def test_cpu_backend_skips_persistent_cache():
         platform_version = "fake"
 
     assert cc.is_cache_used(_FakeTpu()) in (True, False)
+
+
+def test_lru_put_is_thread_race_safe(tmp_path):
+    """The patch must not swap self.path back and forth around each put:
+    with two racing puts, a restore-style implementation hands one thread
+    a plain Path mid-write (a bare, non-atomic write_bytes).  The current
+    shape upgrades self.path ONCE and leaves it; after any put, the
+    instance path stays the atomic subclass and concurrent puts all
+    round-trip with no temp residue."""
+    import threading
+
+    LRUCache = _get_lru()
+    cache = LRUCache(str(tmp_path), max_size=-1)
+    errs = []
+
+    def worker(i):
+        try:
+            for j in range(20):
+                cache.put("key-%d-%d" % (i, j), b"v" * 512)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    # path stays upgraded (write_bytes overridden), not restored
+    assert type(cache.path).__name__ == "_AtomicPath"
+    assert not any(".tmp-" in p.name for p in tmp_path.iterdir())
+    for i in range(4):
+        assert cache.get("key-%d-0" % i) == b"v" * 512

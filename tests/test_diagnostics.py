@@ -278,3 +278,19 @@ def test_kl_batched_rejects_unbatchable():
     X = np.linspace(0, 1, N)[:, None]
     with pytest.raises(ValueError):
         g.kl_data(X, tp, engine='batched')
+
+
+def test_kl_batched_optimizer_none_free_kernel():
+    """optimizer=None with FREE kernel parameters routes to the shared-
+    factorization closed-form path; theta must broadcast to the kernel's
+    actual (non-empty) theta, not an empty placeholder (which crashed
+    value_fn with an out-of-bounds index)."""
+    g = gm.GraphicalDiagnostic(data, mean, cov, nref=4)
+    gp = gm.ConjugateGaussianProcess(kernel=gm.RBF(0.5, (1e-2, 1e2)),
+                                     optimizer=None, nugget=1e-8)
+    X = np.linspace(0, 1, N)[:, None]
+    for predict in (False, True):
+        d_b, r_b = g.kl_data(X, gp, predict=predict, engine='batched')
+        d_l, r_l = g.kl_data(X, gp, predict=predict, engine='loop')
+        np.testing.assert_allclose(d_b, d_l, rtol=1e-8, atol=1e-10)
+        np.testing.assert_allclose(r_b, r_l, rtol=1e-8, atol=1e-10)

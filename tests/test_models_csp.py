@@ -200,3 +200,25 @@ def test_csp_subclass_keeps_mean_uncertainty():
     m_s, c_s = sub.predict(Xnew, return_cov=True)
     np.testing.assert_allclose(np.asarray(c_s), np.asarray(c_b), rtol=1e-8,
                                atol=1e-16)
+
+
+def test_csp_lml_gammaln_stays_on_host(monkeypatch):
+    """Both log_norm evaluations (posterior df = df0 + count, an
+    np.integer for integer df0; prior df0 itself) must use the host
+    gammaln: a 0-d device gammaln constant-folds at f32 on this TPU
+    (CLAUDE.md), a ~1e-7 lml offset invisible to the CPU suite.  Poison
+    the device gammaln and require the lml to still evaluate."""
+    import jax.scipy.special as jsp
+
+    def _boom(*a, **k):
+        raise AssertionError("device gammaln reached for concrete df")
+
+    monkeypatch.setattr(jsp, "gammaln", _boom)
+    gp_o, gp_r = make_pair(df=1)  # integer df0 -> np.integer posterior df
+    gp_o.fit(X, y)
+    gp_r.fit(X, y)
+    theta = np.array([])  # fixed kernel
+    lo = float(np.asarray(gp_o.log_marginal_likelihood(theta)))
+    np.testing.assert_allclose(lo,
+                               float(gp_r.log_marginal_likelihood(theta)),
+                               rtol=1e-9)

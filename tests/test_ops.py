@@ -377,3 +377,16 @@ def test_fused_chol_interpret():
     assert np.abs(np.asarray(w) - w_r).max() < 1e-5
     ld_r = 2 * np.sum(np.log(np.diagonal(Lr, axis1=1, axis2=2)), axis=1)
     assert np.abs(np.asarray(ld) - ld_r).max() < 1e-2  # f32 logdet ~1e3
+
+
+def test_batched_chol_logpdf_forwards_block():
+    """An explicit block must reach the selected engine (the fused branch
+    used to drop it and fail on N not a multiple of ITS default)."""
+    rng = np.random.RandomState(11)
+    X = jnp.asarray(rng.rand(2, 192, 2), dtype=jnp.float32)
+    y = jnp.asarray(rng.randn(2, 192, 1), dtype=jnp.float32)
+    out_b = np.asarray(batched_chol_logpdf(X, y, 0.25, 1.0, 1e-2,
+                                           method='blocked', block=96))
+    out_x = np.asarray(batched_chol_logpdf(X, y, 0.25, 1.0, 1e-2,
+                                           method='xla'))
+    np.testing.assert_allclose(out_b, out_x, rtol=2e-4)

@@ -534,3 +534,22 @@ def test_blocked_engine_differentiable_and_fits():
                                np.asarray(post_s.theta), atol=1e-5)
     np.testing.assert_allclose(np.asarray(post_b.lml),
                                np.asarray(post_s.lml), rtol=1e-8)
+
+
+def test_scalar_chunk_cap():
+    """The scalar fit objective's linesearch working set (~24 live (N,N)
+    temps per ls_steps x chunk element, docs/perf.md) must bound chunk on
+    the 16 GB chip: the default chunk=128 OOMs from N~1500 up, and the
+    f64 polish of precision='mixed' doubles the bytes."""
+    from gsum_tpu.parallel.batched import _scalar_chunk_cap
+
+    # N=4096 f32, ls_steps=10: measured ~32 GB at chunk=2 -> cap to 1
+    assert _scalar_chunk_cap(4096, 10, jnp.float32) == 1
+    # N=2048 f64 (the mixed-precision polish leg): a handful at most
+    assert _scalar_chunk_cap(2048, 10, jnp.float64) <= 2
+    # the 640 < N <= 1024 scalar window: at least the measured-working
+    # B=4 lockstep width survives (sizes below 640 use the grid/scan
+    # engines and never consult the cap)
+    assert _scalar_chunk_cap(1024, 10, jnp.float32) >= 4
+    # never zero
+    assert _scalar_chunk_cap(16384, 10, jnp.float64) == 1

@@ -243,3 +243,17 @@ def test_truncation_lml_eval_gradient():
     np.testing.assert_allclose(float(np.asarray(
         t_o.log_marginal_likelihood(theta))), val, rtol=1e-12)
     np.testing.assert_allclose(grad[0], (vp - vm) / (2 * eps), rtol=1e-4)
+
+
+def test_pointwise_log_likelihood_array_scale():
+    """Per-point scale prior: the df0-term of the evidence sums over the
+    scale array (reference models.py:1795); a scalar-only float() here
+    raised TypeError for the array priors the reference supports."""
+    scale_arr = np.linspace(0.5, 2.0, y_data.shape[0])
+    t_o, t_r = make_pointwise_pair(df=2, scale=scale_arr)
+    t_o.fit(y_data, ratio=ratio_val, ref=ref_val, orders=orders)
+    t_r.fit(y_data, ratio=ratio_val, ref=ref_val, orders=orders)
+    for r in [0.3, 0.45, 0.6]:
+        lo = float(np.asarray(t_o.log_likelihood(ratio=r)))
+        lr = float(t_r.log_likelihood(ratio=r))
+        np.testing.assert_allclose(lo, lr, rtol=1e-9)
