@@ -254,10 +254,13 @@ def general_sqrt_errors(y, mean, sqrt_mat):
     """Whitened residuals for a general (non-triangular) matrix square root.
 
     The reference version (helpers.py:508-509) is broken — it passes
-    ``lower=`` to ``np.linalg.solve``.  This is the corrected behavior.
+    ``lower=`` to ``np.linalg.solve``.  This is the corrected behavior,
+    via :func:`linalg.general_solve` (no f64 LU lowering on this TPU).
     """
+    from .linalg import general_solve
+
     y = jnp.asarray(y)
-    return jnp.linalg.solve(jnp.asarray(sqrt_mat), (y - mean).T).T
+    return general_solve(jnp.asarray(sqrt_mat), (y - mean).T).T
 
 
 def toy_data(X, orders, basis=None, corr=None, beta=0, sd=1, ratio=0.5,

@@ -27,6 +27,7 @@ __all__ = [
     'stabilize', 'cholesky', 'safe_cholesky', 'cho_solve', 'solve_sqrt',
     'pivoted_cholesky', 'cholesky_errors', 'mahalanobis', 'eigh_sqrt',
     'logdet_sqrt', 'spd_solve', 'spd_inv', 'spd_logdet', 'robust_spd_solve',
+    'robust_cholesky', 'robust_cho_solve', 'general_solve',
 ]
 
 
@@ -77,20 +78,20 @@ def spd_solve(M, b):
     return _cho_solve((L, True), jnp.asarray(b))
 
 
-def robust_spd_solve(M, b, jitters=(0.0, 1e-12, 1e-9, 1e-6)):
-    """SPD solve with an escalating relative-jitter ladder.
+def robust_cholesky(M, jitters=(0.0, 1e-12, 1e-9, 1e-6)):
+    """``(L, ok)``: the first successful factor over an escalating
+    relative-jitter ladder.
 
     Factorizes ``M + j * max(diag(M)) * I`` for each jitter in order and
-    uses the first successful factor (all candidates are computed inside
-    jit; selection is by ``where``).  With a well-conditioned M the j=0
-    factor wins and the result is the plain Cholesky solve; on effectively
-    singular covariances (e.g. the un-nuggeted partial-sum covariance in
-    TruncationProcess.predict, reference models.py:1449) this regularizes
-    instead of returning NaN — the LAPACK-LU path the reference leans on
-    does not exist for f64 on TPU.
+    selects the first successful factor (all candidates are computed
+    inside jit; selection is by ``where``).  With a well-conditioned M
+    the j=0 factor wins — the plain Cholesky; on effectively singular
+    covariances this regularizes instead of failing.  ``ok`` is False
+    (and L the identity) only when every ladder step failed.  For
+    callers that reuse ONE factorization across several solves — pass
+    the pair to :func:`robust_cho_solve`.
     """
     M = jnp.asarray(M)
-    b = jnp.asarray(b)
     n = M.shape[-1]
     eye = jnp.eye(n, dtype=M.dtype)
     scale = jnp.max(jnp.diagonal(M, axis1=-2, axis2=-1))
@@ -108,8 +109,28 @@ def robust_spd_solve(M, b, jitters=(0.0, 1e-12, 1e-9, 1e-6)):
             ok_sel = ok_sel | ok_j
     # sanitize in case every ladder step failed so downstream stays finite-safe
     L_sel = jnp.where(ok_sel, L_sel, eye)
-    x = _cho_solve((L_sel, True), b)
-    return jnp.where(ok_sel, x, jnp.full_like(x, jnp.nan))
+    return L_sel, ok_sel
+
+
+def robust_cho_solve(Lok, b):
+    """Solves with a :func:`robust_cholesky` ``(L, ok)`` pair — NaN when
+    the whole ladder failed (matching :func:`robust_spd_solve`)."""
+    L, ok = Lok
+    x = _cho_solve((L, True), jnp.asarray(b))
+    return jnp.where(ok, x, jnp.full_like(x, jnp.nan))
+
+
+def robust_spd_solve(M, b, jitters=(0.0, 1e-12, 1e-9, 1e-6)):
+    """SPD solve with an escalating relative-jitter ladder.
+
+    One :func:`robust_cholesky` + solve.  With a well-conditioned M the
+    j=0 factor wins and the result is the plain Cholesky solve; on
+    effectively singular covariances (e.g. the un-nuggeted partial-sum
+    covariance in TruncationProcess.predict, reference models.py:1449)
+    this regularizes instead of returning NaN — the LAPACK-LU path the
+    reference leans on does not exist for f64 on TPU.
+    """
+    return robust_cho_solve(robust_cholesky(M, jitters), b)
 
 
 def spd_inv(M):
@@ -134,6 +155,25 @@ def eigh_sqrt(M):
     return jnp.linalg.eigh(jnp.asarray(M))
 
 
+def general_solve(A, b):
+    R"""Solves ``A x = b`` for a general (square, nonsingular) A with NO
+    LU factorization — ``jnp.linalg.solve`` has no f64 LU lowering on
+    this TPU (CLAUDE.md).  Uses the normal equations
+    ``(AᵀA) x = Aᵀ b`` through the SPD solver: for the matrix square
+    roots this library passes here (S with M = S Sᵀ), cond(AᵀA) =
+    cond(S)² = cond(M) — the same conditioning every M-space operation
+    already carries, so nothing is lost relative to solving M directly.
+    """
+    A = jnp.asarray(A)
+    b = jnp.asarray(b)
+    At = jnp.swapaxes(A, -1, -2)
+    AtA = jnp.matmul(At, A, precision=jax.lax.Precision.HIGHEST)
+    Atb = jnp.matmul(At, b if b.ndim > 1 else b[:, None],
+                     precision=jax.lax.Precision.HIGHEST)
+    x = robust_spd_solve(AtA, Atb)
+    return x if b.ndim > 1 else x[:, 0]
+
+
 def solve_sqrt(sqrt_mat, y, decomposition):
     R"""Solves ``M x = y`` given a square root of M.
 
@@ -149,7 +189,11 @@ def solve_sqrt(sqrt_mat, y, decomposition):
         if isinstance(sqrt_mat, tuple):
             eig, Q = sqrt_mat
             return Q @ ((Q.T @ y).T / eig).T if y.ndim > 1 else Q @ ((Q.T @ y) / eig)
-        return jnp.linalg.solve(sqrt_mat.T, jnp.linalg.solve(sqrt_mat, y))
+        # M = S Sᵀ: one SPD solve — jnp.linalg.solve has no f64 LU
+        # lowering on this TPU
+        M = jnp.matmul(sqrt_mat, jnp.swapaxes(sqrt_mat, -1, -2),
+                       precision=jax.lax.Precision.HIGHEST)
+        return robust_spd_solve(M, y)
     else:
         raise ValueError('decomposition must be either "cholesky" or "eig"')
 
@@ -262,7 +306,7 @@ def mahalanobis(y, mean, chol=None, inv=None, sqrt_mat=None):
         err = cholesky_errors(y, mean, chol)
         return jnp.linalg.norm(err, axis=-1)
     if sqrt_mat is not None:
-        err = jnp.linalg.solve(sqrt_mat, (y - mean).T).T
+        err = general_solve(sqrt_mat, (y - mean).T).T
         return jnp.linalg.norm(err, axis=-1)
     y2 = jnp.atleast_2d(y)
     diff = y2 - mean

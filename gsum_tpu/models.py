@@ -29,7 +29,8 @@ from . import _config  # noqa: F401
 from . import conjugate as _conj
 from .helpers import coefficients, geometric_sum, hpd
 from .kernels import RBF, ConstantKernel, Kernel
-from .linalg import (eigh_sqrt, logdet_sqrt, robust_spd_solve, solve_sqrt,
+from .linalg import (eigh_sqrt, logdet_sqrt, robust_cho_solve,
+                     robust_cholesky, robust_spd_solve, solve_sqrt,
                      spd_logdet, spd_solve)
 from .optimize import ConvergenceWarning, scipy_lbfgsb
 
@@ -44,13 +45,7 @@ __all__ = [
 ]
 
 
-def _as_key(random_state):
-    """Accepts an int seed, a jax PRNG key, or None (fresh entropy)."""
-    if random_state is None:
-        return jax.random.PRNGKey(np.random.randint(0, 2 ** 31 - 1))
-    if isinstance(random_state, (int, np.integer)):
-        return jax.random.PRNGKey(int(random_state))
-    return random_state
+from .stats import _as_key  # int seed | PRNG key | None (fresh entropy)
 
 
 def _default_basis(X):
@@ -482,11 +477,14 @@ class BaseConjugateProcess:
     # Predict (reference models.py:751-845)
     # ------------------------------------------------------------------
     def predict(self, X, return_std=False, return_cov=False, Xc=None, y=None,
-                pred_noise=False):
+                pred_noise=False, _parts_out=None):
         R"""GP-regression prediction at points X.
 
         ``Xc``/``y`` override the conditioning set without affecting the
         hyperparameter updates; before ``fit`` the prior is returned.
+        ``_parts_out`` (private): receives the Xc-conditioning square
+        root so ConjugateStudentProcess.predict can reuse it instead of
+        re-factorizing the same matrix.
         """
         if return_std and return_cov:
             raise RuntimeError('Only one of return_std or return_cov may be True')
@@ -527,6 +525,8 @@ class BaseConjugateProcess:
                 sqrt_R = eigh_sqrt(kk)
             else:
                 raise ValueError('decomposition must be "cholesky" or "eig"')
+            if _parts_out is not None:
+                _parts_out['sqrt_R_xc'] = sqrt_R
         if y is None:
             y = self.y_train_
         y = jnp.asarray(y)
@@ -808,8 +808,10 @@ class ConjugateStudentProcess(BaseConjugateProcess):
             return super().predict(X=X, return_std=return_std,
                                    return_cov=return_cov, pred_noise=pred_noise)
 
+        parts = {}
         pred = super().predict(X=X, return_std=return_std, return_cov=return_cov,
-                               Xc=Xc, y=y, pred_noise=pred_noise)
+                               Xc=Xc, y=y, pred_noise=pred_noise,
+                               _parts_out=parts)
 
         X = jnp.atleast_2d(jnp.asarray(X))
         decomp = self.decomposition
@@ -829,13 +831,18 @@ class ConjugateStudentProcess(BaseConjugateProcess):
                 Xc = jnp.atleast_2d(jnp.asarray(Xc))
                 basis_old = self.basis(Xc)
                 R_no = self.kernel_(X, Xc)
-                kk = self.kernel_(Xc) + self.nugget * jnp.eye(Xc.shape[0])
-                if decomp == 'cholesky':
-                    sqrt_R = _resolve_chol_fn(self.chol_engine)(kk)
-                elif decomp == 'eig':
-                    sqrt_R = eigh_sqrt(kk)
-                else:
-                    raise ValueError('decomposition must be "cholesky" or "eig"')
+                # reuse the factor super().predict computed for this Xc
+                sqrt_R = parts.get('sqrt_R_xc')
+                if sqrt_R is None:  # pragma: no cover — defensive
+                    kk = self.kernel_(Xc) \
+                        + self.nugget * jnp.eye(Xc.shape[0])
+                    if decomp == 'cholesky':
+                        sqrt_R = _resolve_chol_fn(self.chol_engine)(kk)
+                    elif decomp == 'eig':
+                        sqrt_R = eigh_sqrt(kk)
+                    else:
+                        raise ValueError(
+                            'decomposition must be "cholesky" or "eig"')
             basis = basis_new - R_no @ solve_sqrt(sqrt_R, basis_old, decomposition=decomp)
 
         mean_cov = var * (basis @ disp @ basis.T)
@@ -1015,11 +1022,14 @@ class TruncationProcess:
         return self
 
     def predict(self, X, order, return_std=False, return_cov=False, Xc=None,
-                y=None, pred_noise=False, kind='both'):
+                y=None, pred_noise=False, kind='both', _parts_out=None):
         R"""Predictive distribution of y_order (+ truncation error) at X.
 
         ``kind`` selects the interpolant ('interp'), the truncation error
         ('trunc'), or their sum ('both').  reference: models.py:1389-1483.
+        ``_parts_out`` (private): a dict that receives the jitter-ladder
+        Cholesky factors so TruncationTP.predict can reuse them instead
+        of re-factorizing the same matrices.
         """
         if not self._fit:
             return self.underlying_properties(X, order, return_cov=return_cov,
@@ -1051,10 +1061,15 @@ class TruncationProcess:
             K_no = K_on.T
             K_nn = self.cov(start=0, end=order, X=X, Xp=X)
 
-            alpha = robust_spd_solve(K_oo, y - m_old)
+            # one jitter-ladder factorization serves every K_oo solve
+            Lok_oo = robust_cholesky(K_oo)
+            if _parts_out is not None:
+                _parts_out['Lok_oo'] = Lok_oo
+            alpha = robust_cho_solve(Lok_oo, y - m_old)
             m_pred = m_pred + m_new + K_no @ alpha
             if return_std or return_cov:
-                K_pred = K_pred + K_nn - K_no @ robust_spd_solve(K_oo, K_on)
+                K_pred = K_pred + K_nn - K_no @ robust_cho_solve(Lok_oo,
+                                                                 K_on)
 
         if kind in ('both', 'trunc'):
             m_new_trunc = self.mean(X=X, start=order + 1, end=np.inf)
@@ -1067,11 +1082,15 @@ class TruncationProcess:
                 K_on_trunc = self.cov(X=X_trunc, Xp=X, start=order + 1, end=np.inf)
                 K_no_trunc = K_on_trunc.T
 
-                alpha_trunc = robust_spd_solve(K_oo_trunc, (jnp.asarray(self.dy_) - m_old_trunc))
+                Lok_trunc = robust_cholesky(K_oo_trunc)
+                if _parts_out is not None:
+                    _parts_out['Lok_trunc'] = Lok_trunc
+                alpha_trunc = robust_cho_solve(
+                    Lok_trunc, jnp.asarray(self.dy_) - m_old_trunc)
                 m_pred = m_pred + m_new_trunc + K_no_trunc @ alpha_trunc
                 if return_std or return_cov:
                     K_pred = K_pred + K_nn_trunc \
-                        - K_no_trunc @ robust_spd_solve(K_oo_trunc, K_on_trunc)
+                        - K_no_trunc @ robust_cho_solve(Lok_trunc, K_on_trunc)
             else:
                 m_pred = m_pred + m_new_trunc
                 if return_std or return_cov:
@@ -1148,11 +1167,20 @@ class TruncationTP(TruncationProcess):
                 y=None, pred_noise=False, kind='both'):
         """Adds the marginalized-mean covariance with conditional bases for
         both the interpolant and truncation pieces (reference models.py:1527-1570)."""
+        parts = {}
         pred = super().predict(X=X, order=order, return_std=return_std,
                                return_cov=return_cov, Xc=Xc, y=y,
-                               pred_noise=pred_noise, kind=kind)
+                               pred_noise=pred_noise, kind=kind,
+                               _parts_out=parts)
 
         if not return_std and not return_cov:
+            return pred
+        if not self._fit:
+            # the prior from underlying_properties already carries the
+            # full var·(B V₀ Bᵀ) dispersion term through the coeffs
+            # process's prior cov; the correction below exists for the
+            # CONDITIONAL bases of the fitted case.  (The reference
+            # crashes on None fitted attributes here.)
             return pred
 
         X = jnp.atleast_2d(jnp.asarray(X))
@@ -1168,23 +1196,32 @@ class TruncationTP(TruncationProcess):
         basis_trunc = jnp.zeros((X.shape[0], p))
 
         if kind in ('both', 'interp'):
-            K_oo = self.cov(X=Xc, Xp=Xc, start=0, end=order)
             K_no = self.cov(X=X, Xp=Xc, start=0, end=order)
+            # reuse the factor super().predict computed for this K_oo
+            Lok_oo = parts.get('Lok_oo')
+            if Lok_oo is None:  # pragma: no cover — defensive
+                Lok_oo = robust_cholesky(self.cov(X=Xc, Xp=Xc, start=0,
+                                                  end=order))
 
             basis_lower_old = self.basis(X=Xc, start=0, end=order)
             basis_lower_new = self.basis(X=X, start=0, end=order)
-            basis_lower = basis_lower_new - K_no @ robust_spd_solve(K_oo, basis_lower_old)
+            basis_lower = basis_lower_new \
+                - K_no @ robust_cho_solve(Lok_oo, basis_lower_old)
 
         if kind in ('both', 'trunc'):
             X_trunc = self.dX_
             if X_trunc is not None:
-                K_oo_trunc = self.cov(X=X_trunc, Xp=X_trunc, start=order + 1, end=np.inf)
                 K_no_trunc = self.cov(X=X, Xp=X_trunc, start=order + 1, end=np.inf)
+                Lok_trunc = parts.get('Lok_trunc')
+                if Lok_trunc is None:  # pragma: no cover — defensive
+                    Lok_trunc = robust_cholesky(self.cov(
+                        X=X_trunc, Xp=X_trunc, start=order + 1, end=np.inf))
 
                 basis_trunc_old = self.basis(X=X_trunc, start=order + 1, end=np.inf)
                 basis_trunc_new = self.basis(X=X, start=order + 1, end=np.inf)
                 basis_trunc = basis_trunc_new \
-                    - K_no_trunc @ robust_spd_solve(K_oo_trunc, basis_trunc_old)
+                    - K_no_trunc @ robust_cho_solve(Lok_trunc,
+                                                    basis_trunc_old)
             else:
                 basis_trunc = self.basis(X=X, start=order + 1, end=np.inf)
 

@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.scipy.special import betainc, betaln, gammainc, gammaln, ndtr, ndtri
+from scipy.special import betaln as _betaln_host, gammaln as _gammaln_host
 
 from .. import _config  # noqa: F401
 from ._special import betaincinv, gammaincinv
@@ -43,6 +44,30 @@ def _as_key(random_state):
     if isinstance(random_state, (int, np.integer)):
         return jax.random.PRNGKey(int(random_state))
     return random_state
+
+
+def _host_scalar(v):
+    """The Python float of a concrete scalar, else None (traced or
+    array-valued).  Parameter-only normalizers are evaluated on the HOST
+    at f64 when possible: a 0-d device transcendental constant-folds at
+    f32 precision on this TPU, capping an otherwise-f64 log-density at
+    ~1e-7 accuracy.  Frozen distributions built outside jit hold
+    concrete 0-d arrays, so their normalizers stay exact; tracer or
+    array-valued parameters fall back to device ops."""
+    if isinstance(v, (int, float, np.floating, np.integer)):
+        return float(v)
+    if isinstance(v, jax.core.Tracer):
+        return None
+    if np.ndim(v) == 0:
+        return float(np.asarray(v))
+    return None
+
+
+def _log_c(v):
+    """``log(v)`` — on the host when v is a concrete scalar (see
+    :func:`_host_scalar`), as a device op otherwise."""
+    vh = _host_scalar(v)
+    return float(np.log(vh)) if vh is not None else jnp.log(v)
 
 
 class _Frozen:
@@ -147,8 +172,15 @@ class _FrozenT(_Frozen):
     def logpdf(self, x):
         z = self._z(x)
         df = self.df
-        lognorm = gammaln((df + 1) / 2) - gammaln(df / 2) \
-            - 0.5 * jnp.log(df * jnp.pi) - jnp.log(self.scale)
+        dfh = _host_scalar(df)
+        if dfh is not None:
+            const = float(_gammaln_host((dfh + 1) / 2.)
+                          - _gammaln_host(dfh / 2.)
+                          - 0.5 * np.log(dfh * np.pi))
+        else:
+            const = gammaln((df + 1) / 2) - gammaln(df / 2) \
+                - 0.5 * jnp.log(df * jnp.pi)
+        lognorm = const - _log_c(self.scale)
         return lognorm - (df + 1) / 2 * jnp.log1p(z * z / df)
 
     def pdf(self, x):
@@ -229,9 +261,14 @@ class _FrozenChi2(_Frozen):
     def logpdf(self, x):
         z = self._z(x)
         k2 = self.df / 2.0
-        lp = (k2 - 1) * jnp.log(z) - z / 2 - gammaln(k2) - k2 * jnp.log(2.0)
+        k2h = _host_scalar(k2)
+        if k2h is not None:
+            const = float(_gammaln_host(k2h) + k2h * np.log(2.0))
+        else:
+            const = gammaln(k2) + k2 * jnp.log(2.0)
+        lp = (k2 - 1) * jnp.log(z) - z / 2 - const
         lp = jnp.where(z > 0, lp, -jnp.inf)
-        return lp - jnp.log(self.scale)
+        return lp - _log_c(self.scale)
 
     def pdf(self, x):
         return jnp.exp(self.logpdf(x))
@@ -252,7 +289,9 @@ class _FrozenChi2(_Frozen):
     def rvs(self, size=1, random_state=None):
         key = _as_key(self.random_state if random_state is None else random_state)
         shape = (size,) if np.isscalar(size) else tuple(size)
-        z = 2.0 * jax.random.gamma(key, self.df / 2.0, shape,
+        base = jnp.broadcast_shapes(jnp.shape(self.df), jnp.shape(self.loc),
+                                    jnp.shape(self.scale))
+        z = 2.0 * jax.random.gamma(key, self.df / 2.0, shape + base,
                                    dtype=jnp.result_type(float))
         out = self.loc + self.scale * z
         return jnp.squeeze(out) if size == 1 else out
@@ -291,12 +330,17 @@ class _FrozenF(_Frozen):
     def logpdf(self, x):
         z = self._z(x)
         d1, d2 = self.dfn, self.dfd
-        lp = (d1 / 2) * jnp.log(d1) + (d2 / 2) * jnp.log(d2) \
-            + (d1 / 2 - 1) * jnp.log(z) \
-            - ((d1 + d2) / 2) * jnp.log(d2 + d1 * z) \
-            - betaln(d1 / 2, d2 / 2)
+        d1h, d2h = _host_scalar(d1), _host_scalar(d2)
+        if d1h is not None and d2h is not None:
+            const = float((d1h / 2) * np.log(d1h) + (d2h / 2) * np.log(d2h)
+                          - _betaln_host(d1h / 2, d2h / 2))
+        else:
+            const = (d1 / 2) * jnp.log(d1) + (d2 / 2) * jnp.log(d2) \
+                - betaln(d1 / 2, d2 / 2)
+        lp = const + (d1 / 2 - 1) * jnp.log(z) \
+            - ((d1 + d2) / 2) * jnp.log(d2 + d1 * z)
         lp = jnp.where(z > 0, lp, -jnp.inf)
-        return lp - jnp.log(self.scale)
+        return lp - _log_c(self.scale)
 
     def pdf(self, x):
         return jnp.exp(self.logpdf(x))
@@ -330,8 +374,11 @@ class _FrozenF(_Frozen):
         k1, k2 = jax.random.split(key)
         shape = (size,) if np.isscalar(size) else tuple(size)
         dt = jnp.result_type(float)
-        u1 = 2.0 * jax.random.gamma(k1, self.dfn / 2.0, shape, dtype=dt)
-        u2 = 2.0 * jax.random.gamma(k2, self.dfd / 2.0, shape, dtype=dt)
+        base = jnp.broadcast_shapes(jnp.shape(self.dfn), jnp.shape(self.dfd),
+                                    jnp.shape(self.loc),
+                                    jnp.shape(self.scale))
+        u1 = 2.0 * jax.random.gamma(k1, self.dfn / 2.0, shape + base, dtype=dt)
+        u2 = 2.0 * jax.random.gamma(k2, self.dfd / 2.0, shape + base, dtype=dt)
         z = (u1 / self.dfn) / (u2 / self.dfd)
         out = self.loc + self.scale * z
         return jnp.squeeze(out) if size == 1 else out
@@ -355,8 +402,12 @@ class _FrozenBeta(_Frozen):
 
     def logpdf(self, x):
         x = jnp.asarray(x)
-        lp = (self.a - 1) * jnp.log(x) + (self.b - 1) * jnp.log1p(-x) \
-            - betaln(self.a, self.b)
+        ah, bh = _host_scalar(self.a), _host_scalar(self.b)
+        if ah is not None and bh is not None:
+            bln = float(_betaln_host(ah, bh))
+        else:
+            bln = betaln(self.a, self.b)
+        lp = (self.a - 1) * jnp.log(x) + (self.b - 1) * jnp.log1p(-x) - bln
         return jnp.where((x >= 0) & (x <= 1), lp, -jnp.inf)
 
     def pdf(self, x):
@@ -379,7 +430,9 @@ class _FrozenBeta(_Frozen):
     def rvs(self, size=1, random_state=None):
         key = _as_key(self.random_state if random_state is None else random_state)
         shape = (size,) if np.isscalar(size) else tuple(size)
-        out = jax.random.beta(key, self.a, self.b, shape, dtype=jnp.result_type(float))
+        base = jnp.broadcast_shapes(jnp.shape(self.a), jnp.shape(self.b))
+        out = jax.random.beta(key, self.a, self.b, shape + base,
+                              dtype=jnp.result_type(float))
         return jnp.squeeze(out) if size == 1 else out
 
 
@@ -414,8 +467,12 @@ class _FrozenBinom(_Frozen):
     def logpmf(self, k):
         k = jnp.asarray(k)
         n = self.n
-        return (gammaln(n + 1.0) - gammaln(k + 1.0) - gammaln(n - k + 1.0)
-                + k * jnp.log(self.p) + (n - k) * jnp.log1p(-self.p))
+        ph = _host_scalar(self.p)
+        logp = float(np.log(ph)) if ph is not None else jnp.log(self.p)
+        log1mp = (float(np.log1p(-ph)) if ph is not None
+                  else jnp.log1p(-self.p))
+        return (float(_gammaln_host(n + 1.0)) - gammaln(k + 1.0)
+                - gammaln(n - k + 1.0) + k * logp + (n - k) * log1mp)
 
     def pmf(self, k):
         return jnp.exp(self.logpmf(k))
@@ -460,7 +517,8 @@ class _FrozenBinom(_Frozen):
     def rvs(self, size=1, random_state=None):
         key = _as_key(self.random_state if random_state is None else random_state)
         shape = (size,) if np.isscalar(size) else tuple(size)
-        out = jax.random.binomial(key, self.n, self.p, shape)
+        base = jnp.broadcast_shapes(jnp.shape(self.n), jnp.shape(self.p))
+        out = jax.random.binomial(key, self.n, self.p, shape + base)
         return jnp.squeeze(out) if size == 1 else out
 
 
@@ -548,8 +606,15 @@ class _FrozenMVT:
         w = solve_triangular(self._chol, diff.T, lower=True).T
         maha = jnp.sum(w * w, axis=-1)
         logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(self._chol)))
-        return (gammaln((df + d) / 2.0) - gammaln(df / 2.0)
-                - 0.5 * d * jnp.log(df * jnp.pi) - 0.5 * logdet
+        dfh = _host_scalar(df)
+        if dfh is not None:
+            const = float(_gammaln_host((dfh + d) / 2.0)
+                          - _gammaln_host(dfh / 2.0)
+                          - 0.5 * d * np.log(dfh * np.pi))
+        else:
+            const = (gammaln((df + d) / 2.0) - gammaln(df / 2.0)
+                     - 0.5 * d * jnp.log(df * jnp.pi))
+        return (const - 0.5 * logdet
                 - (df + d) / 2.0 * jnp.log1p(maha / df))
 
     def pdf(self, x):

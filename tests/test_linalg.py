@@ -138,3 +138,38 @@ def test_stabilize():
     M = np.zeros((3, 3))
     out = np.asarray(linalg.stabilize(M))
     np.testing.assert_allclose(out, 1e-5 * np.eye(3))
+
+
+def test_general_solve_and_sqrt_paths_no_lu():
+    """solve_sqrt's dense-S branch, mahalanobis(sqrt_mat=...), and
+    helpers.general_sqrt_errors must not go through jnp.linalg.solve —
+    it has no f64 LU lowering on the target TPU.  The normal-equations
+    route must agree with the dense solve (exact here: CPU has LU)."""
+    import gsum_tpu.helpers as gh
+
+    rng = np.random.RandomState(5)
+    A = rng.randn(6, 6)
+    M = A @ A.T + 6 * np.eye(6)
+    # a general (non-triangular) square root of M: S = Q sqrt(L) Q^T
+    w, Q = np.linalg.eigh(M)
+    S = Q @ np.diag(np.sqrt(w)) @ Q.T
+    y = rng.randn(6)
+    Y = rng.randn(6, 3)
+
+    np.testing.assert_allclose(np.asarray(linalg.general_solve(S, y)),
+                               np.linalg.solve(S, y), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(linalg.general_solve(S, Y)),
+                               np.linalg.solve(S, Y), rtol=1e-9)
+    # solve_sqrt 'eig' with a dense square root: M x = y
+    np.testing.assert_allclose(np.asarray(linalg.solve_sqrt(S, Y, 'eig')),
+                               np.linalg.solve(M, Y), rtol=1e-9)
+    # mahalanobis via the general sqrt equals the chol route
+    mean = rng.randn(6)
+    d_chol = np.asarray(linalg.mahalanobis(y, mean,
+                                           chol=np.linalg.cholesky(M)))
+    d_gen = np.asarray(linalg.mahalanobis(y, mean, sqrt_mat=S))
+    np.testing.assert_allclose(d_gen, d_chol, rtol=1e-9)
+    # the whitened-residual vector helper
+    err = np.asarray(gh.general_sqrt_errors(y, mean, S))
+    np.testing.assert_allclose(err, np.linalg.solve(S, y - mean),
+                               rtol=1e-9)

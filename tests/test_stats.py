@@ -146,3 +146,56 @@ def test_ppf_out_of_domain_nan():
     assert np.isnan(float(d.ppf(-0.1)))
     c = gstats.chi2(df=4)
     assert np.isnan(float(c.ppf(1.5)))
+
+
+def test_rvs_array_params():
+    """The module contract: all families accept broadcastable array
+    parameters — including .rvs(), which must append the parameter
+    broadcast shape the way norm/t do."""
+    df = np.array([2.0, 5.0])
+    out = np.asarray(gstats.chi2(df).rvs(4, random_state=0))
+    assert out.shape == (4, 2) and (out > 0).all()
+    out = np.asarray(gstats.f(np.array([2.0, 4.0]), 7.0).rvs(3,
+                                                             random_state=1))
+    assert out.shape == (3, 2) and (out > 0).all()
+    out = np.asarray(gstats.beta(np.array([1.0, 2.0, 3.0]),
+                                 2.0).rvs(5, random_state=2))
+    assert out.shape == (5, 3) and ((out >= 0) & (out <= 1)).all()
+    out = np.asarray(gstats.binom(6, np.array([0.2, 0.8])).rvs(3,
+                                                               random_state=3))
+    assert out.shape == (3, 2) and ((out >= 0) & (out <= 6)).all()
+
+
+def test_logpdf_normalizers_stay_on_host(monkeypatch):
+    """Parameter-only normalizers of frozen dists built outside jit must
+    not touch the device gammaln/betaln: 0-d device transcendentals
+    constant-fold at f32 on the target TPU (~1e-7 logpdf error the CPU
+    suite cannot see).  Poison the device functions and require the
+    log-densities to still evaluate and match scipy."""
+    import gsum_tpu.stats as S
+
+    def _boom(*a, **k):
+        raise AssertionError("device special-function reached for "
+                             "concrete parameters")
+
+    # binom's k-dependent gammaln terms are data terms (array-valued,
+    # no folding risk) — check it un-poisoned, but its p-normalizers are
+    # covered by the host path
+    ks = np.arange(7.0)
+    np.testing.assert_allclose(np.asarray(gstats.binom(6, 0.3).logpmf(ks)),
+                               st.binom(6, 0.3).logpmf(ks), rtol=1e-11,
+                               atol=1e-13)
+
+    for name in ("gammaln", "betaln"):
+        monkeypatch.setattr(S, name, _boom, raising=True)
+
+    x = np.linspace(0.1, 3.0, 5)
+    np.testing.assert_allclose(np.asarray(gstats.t(3.0, 0.5, 2.0).logpdf(x)),
+                               st.t(3.0, 0.5, 2.0).logpdf(x), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(gstats.chi2(4.0).logpdf(x)),
+                               st.chi2(4.0).logpdf(x), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(gstats.f(3.0, 7.0).logpdf(x)),
+                               st.f(3.0, 7.0).logpdf(x), rtol=1e-12)
+    xb = np.linspace(0.05, 0.95, 5)
+    np.testing.assert_allclose(np.asarray(gstats.beta(2.0, 3.0).logpdf(xb)),
+                               st.beta(2.0, 3.0).logpdf(xb), rtol=1e-12)

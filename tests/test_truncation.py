@@ -257,3 +257,22 @@ def test_pointwise_log_likelihood_array_scale():
         lo = float(np.asarray(t_o.log_likelihood(ratio=r)))
         lr = float(t_r.log_likelihood(ratio=r))
         np.testing.assert_allclose(lo, lr, rtol=1e-9)
+
+
+def test_truncation_tp_unfitted_predict_returns_prior():
+    """TruncationTP.predict with return_std before fit returns the prior
+    (whose coeffs-process cov already carries the var*(B V0 B^T)
+    dispersion term); the reference crashes on None fitted attributes
+    here, so this is a deliberate fixed-bug deviation (docs/parity.md)."""
+    k = gm.RBF(0.4, (1e-2, 1e2))
+    tp = gm.TruncationTP(kernel=k, ratio=0.5, ref=1.0, df=5, scale=1.0,
+                         disp=1.0)
+    Xp = np.linspace(0, 1, 7)[:, None]
+    m, std = tp.predict(Xp, order=2, return_std=True)
+    assert np.asarray(m).shape == (7,)
+    assert np.isfinite(np.asarray(std)).all()
+    m2, cov = tp.predict(Xp, order=2, return_cov=True)
+    np.testing.assert_allclose(np.asarray(m), np.asarray(m2))
+    # prior == base underlying_properties (no conditional correction)
+    m_u, cov_u = tp.underlying_properties(Xp, order=2, return_cov=True)
+    np.testing.assert_allclose(np.asarray(cov), np.asarray(cov_u))
