@@ -13,13 +13,22 @@ any array store.  Two backends:
 from __future__ import annotations
 
 import json
+import re
 
 import jax.numpy as jnp
 import numpy as np
 
 from . import _config  # noqa: F401
 
-__all__ = ['state_dict', 'restore_state', 'save', 'load']
+__all__ = ['state_dict', 'restore_state', 'save', 'load',
+           'save_orbax', 'load_orbax']
+
+
+def _kernel_sig(kernel_repr):
+    """Structural signature of a kernel repr: float literals normalized
+    to 6 significant digits (see the kernel check in restore_state)."""
+    return re.sub(r'-?\d+(?:\.\d*)?(?:[eE][+-]?\d+)?',
+                  lambda m: '%.6g' % float(m.group(0)), kernel_repr)
 
 # Fitted attributes that form the array state (reference models.py:124-137)
 _ARRAY_FIELDS = [
@@ -167,8 +176,28 @@ def restore_state(gp, arrays, meta):
     kernel = gp.kernel if gp.kernel is not None else gp._default_kernel
     gp.kernel_ = kernel.clone()
     theta = np.asarray(meta['kernel_theta'], dtype=float)
+    n_theta = np.asarray(gp.kernel_.theta).size
+    if theta.size != n_theta:
+        raise ValueError(
+            'checkpoint kernel theta has %d entries but this instance\'s '
+            'kernel %r expects %d — kernel structure mismatch'
+            % (theta.size, gp.kernel_, n_theta))
     if theta.size:
         gp.kernel_.theta = theta
+    # kernel STRUCTURE must match the checkpoint: restoring e.g. an
+    # RBF-trained posterior into a Matern instance silently produces
+    # wrong predictions (theta sizes can coincide).  Compare reprs at
+    # the restored theta with float literals normalized to 6 significant
+    # digits — the exp/log theta round-trip may perturb last-ulp digits,
+    # but class names, composition, and fixed shape parameters (Matern
+    # nu, periodicity) must agree.
+    want = meta.get('kernel_repr')
+    if want is not None:
+        got = repr(gp.kernel_)
+        if _kernel_sig(got) != _kernel_sig(want):
+            raise ValueError(
+                'checkpoint kernel %s does not match this instance\'s '
+                'kernel %s' % (want, got))
     for f in _ARRAY_FIELDS:
         if f in arrays:
             setattr(gp, f, jnp.asarray(arrays[f]))

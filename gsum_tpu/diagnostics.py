@@ -213,6 +213,19 @@ class GraphicalDiagnostic:
             self._ref_err_cache[name] = self._whiten(name)(self.samples)
         return self._ref_err_cache[name]
 
+    def _qq_pipeline(self, data, whiten, ref_errors, band_perc):
+        """Shared QQ arrays: theoretical quantiles of the standardized
+        reference distribution, per-curve order statistics of the
+        whitened data, and simulated order-statistic envelopes."""
+        from . import viz
+
+        N = jnp.asarray(data).shape[0]
+        probs = (jnp.arange(1, N + 1) - 0.5) / N
+        theo_q = np.asarray(self.diagnostic.std_udist.ppf(probs))
+        sorted_data = np.sort(np.asarray(whiten(data)), axis=0)
+        bands = viz.sorted_sample_envelope(ref_errors, band_perc)
+        return theo_q, sorted_data, bands
+
     def qq_band_data(self, name, band_perc=(0.68, 0.95)):
         """The arrays behind a QQ panel: theoretical quantiles of the
         standardized reference distribution, per-curve order statistics of
@@ -221,15 +234,8 @@ class GraphicalDiagnostic:
         Returns (theo_q, sorted_data, bands); bands is a list of (lo, hi)
         (N,) arrays, one pair per entry of band_perc.
         """
-        from . import viz
-
-        N = self.data.shape[0]
-        probs = (jnp.arange(1, N + 1) - 0.5) / N
-        theo_q = np.asarray(self.diagnostic.std_udist.ppf(probs))
-        sorted_data = np.sort(np.asarray(self._whiten(name)(self.data)),
-                              axis=0)
-        bands = viz.sorted_sample_envelope(self._ref_errors(name), band_perc)
-        return theo_q, sorted_data, bands
+        return self._qq_pipeline(self.data, self._whiten(name),
+                                 self._ref_errors(name), band_perc)
 
     def coverage_band_data(self, intervals, band_perc=(0.68, 0.95)):
         """The arrays behind the credible-interval panel: per-curve data
@@ -297,11 +303,8 @@ class GraphicalDiagnostic:
         standard maps)."""
         from . import viz
 
-        N = jnp.asarray(data).shape[0]
-        probs = (jnp.arange(1, N + 1) - 0.5) / N
-        theo_q = np.asarray(self.diagnostic.std_udist.ppf(probs))
-        sorted_data = np.sort(np.asarray(func(data)), axis=0)
-        bands = viz.sorted_sample_envelope(func(ref), band_perc)
+        theo_q, sorted_data, bands = self._qq_pipeline(data, func,
+                                                       func(ref), band_perc)
         return viz.draw_qq(theo_q, sorted_data, bands, self.style,
                            title=title, ax=ax)
 
@@ -565,7 +568,11 @@ class GraphicalDiagnostic:
             ax = plt.gca()
         X = np.asarray(X)
         d = np.sqrt(((X[:, None, :] - X[None, :, :]) ** 2).sum(-1))
-        bounds = np.linspace(1e-8, d.max(), n_bins + 1)[1:]
+        # the estimator takes n_bins-1 INTERIOR boundaries (np.digitize
+        # semantics: first bin reaches down to 0, last extends past the
+        # max lag) — passing n_bins bounds used to create a meaningless
+        # (n_bins+1)-th overflow bin holding only the single extreme pair
+        bounds = np.linspace(0.0, d.max(), n_bins + 1)[1:-1]
         y = np.asarray(self.data).T   # (n_curves, n_samples)
         _, loc, gamma, lower, upper = self.diagnostic.variogram(X, y, bounds)
         loc = np.asarray(loc)

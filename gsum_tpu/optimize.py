@@ -56,20 +56,53 @@ def scipy_lbfgsb(obj_func, initial_theta, bounds):
 # Fully-jitted bounded L-BFGS
 # ----------------------------------------------------------------------
 
+# Per-iteration trust cap in z (logit) units for the fixed-trip engines.
+# The whole usable range of the sigmoid reparameterization is ~±15 logit
+# units (beyond that the box coordinate is within 1e-7 of its boundary
+# and the z-gradient is exponentially small), so 2 units per iteration is
+# plenty for progress while making the saturated tail unreachable in one
+# jump.
+_ZSTEP = 2.0
+
+
 def _to_unbounded(theta, lo, hi):
-    """Map box-constrained theta to an unconstrained z (logit reparam)."""
-    finite = jnp.isfinite(lo) & jnp.isfinite(hi)
-    span = jnp.where(finite, hi - lo, 1.0)
+    """Map box-constrained theta to an unconstrained z.
+
+    Two-sided boxes use the logit; ONE-SIDED bounds use the softplus
+    inverse (they used to be silently treated as unbounded, and the
+    unguarded ``lo + (hi - lo) * t`` produced 0·inf = NaN in the
+    discarded ``where`` branch, which poisons gradients).  Every branch
+    is evaluated with sanitized operands for exactly that reason.
+    """
+    lo_f, hi_f = jnp.isfinite(lo), jnp.isfinite(hi)
+    both = lo_f & hi_f
+    lo_s = jnp.where(lo_f, lo, 0.0)
+    hi_s = jnp.where(hi_f, hi, 0.0)
+    span = jnp.where(both, hi - lo, 1.0)
     # clip strictly inside the box so logit stays finite
-    t = jnp.clip((theta - lo) / span, 1e-10, 1 - 1e-10)
+    t = jnp.clip((theta - lo_s) / span, 1e-10, 1 - 1e-10)
     z_box = jnp.log(t) - jnp.log1p(-t)
-    return jnp.where(finite, z_box, theta)
+    # softplus inverse, stable at both ends: log(expm1(d)) = d + log(-expm1(-d))
+    d_lo = jnp.maximum(theta - lo_s, 1e-10)
+    z_lo = d_lo + jnp.log(-jnp.expm1(-d_lo))
+    d_hi = jnp.maximum(hi_s - theta, 1e-10)
+    z_hi = d_hi + jnp.log(-jnp.expm1(-d_hi))
+    return jnp.where(both, z_box,
+                     jnp.where(lo_f, z_lo, jnp.where(hi_f, z_hi, theta)))
 
 
 def _to_bounded(z, lo, hi):
-    finite = jnp.isfinite(lo) & jnp.isfinite(hi)
-    t = jax.nn.sigmoid(z)
-    return jnp.where(finite, lo + (hi - lo) * t, z)
+    """Inverse of :func:`_to_unbounded` (sigmoid / softplus / identity)."""
+    lo_f, hi_f = jnp.isfinite(lo), jnp.isfinite(hi)
+    both = lo_f & hi_f
+    lo_s = jnp.where(lo_f, lo, 0.0)
+    hi_s = jnp.where(hi_f, hi, 0.0)
+    span = jnp.where(both, hi - lo, 1.0)
+    x_box = lo_s + span * jax.nn.sigmoid(z)
+    x_lo = lo_s + jax.nn.softplus(z)
+    x_hi = hi_s - jax.nn.softplus(z)
+    return jnp.where(both, x_box,
+                     jnp.where(lo_f, x_lo, jnp.where(hi_f, x_hi, z)))
 
 
 def jit_lbfgs_bounded(fun, x0, lower, upper, maxiter=200, tol=1e-10):
@@ -192,12 +225,21 @@ def fixed_lbfgs_bounded(fun, x0, lower, upper, maxiter=50, history=8,
         d = jnp.where(descent, d, -g)
         gd = jnp.dot(g, d)
 
+        # trust cap: at most _ZSTEP logit units per iteration.  An
+        # unbounded first step can throw z deep into the sigmoid's
+        # saturated tail (observed: z -> -59 on a plain quadratic),
+        # where the z-gradient vanishes exponentially and every later
+        # iteration is stuck at the squashed box boundary.
+        tcap = jnp.minimum(1.0, _ZSTEP / jnp.maximum(jnp.max(jnp.abs(d)),
+                                                     1e-30))
+        ts_eff = tcap * ts
+
         # vectorized Armijo backtracking
-        f_trials = jax.vmap(lambda t: zfun(z + t * d))(ts)
-        ok = (f_trials <= f + c1 * ts * gd) & jnp.isfinite(f_trials)
+        f_trials = jax.vmap(lambda t: zfun(z + t * d))(ts_eff)
+        ok = (f_trials <= f + c1 * ts_eff * gd) & jnp.isfinite(f_trials)
         any_ok = jnp.any(ok)
         idx = jnp.argmax(ok)
-        t = jnp.where(any_ok, ts[idx], 0.0)
+        t = jnp.where(any_ok, ts_eff[idx], 0.0)
 
         z_new = z + t * d
         f_new, g_new = value_and_grad(z_new)
@@ -288,13 +330,20 @@ def fixed_lbfgs_bounded_batched(fun_b, X0, lower, upper, maxiter=50,
         D = jnp.where(descent[:, None], D, -G)
         gd = jnp.where(descent, gd, -jnp.sum(G * G, -1))
 
+        # trust cap per fit (see fixed_lbfgs_bounded: an uncapped step
+        # saturates the sigmoid and strands the fit at a box boundary)
+        tcap = jnp.minimum(1.0, _ZSTEP / jnp.maximum(
+            jnp.max(jnp.abs(D), axis=-1), 1e-30))        # (B,)
+        ts_eff = ts[:, None] * tcap[None]                # (L, B)
+
         # one wide linesearch call: all trials x all fits
-        Zt = Z[None] + ts[:, None, None] * D[None]       # (L, B, P)
+        Zt = Z[None] + ts_eff[:, :, None] * D[None]      # (L, B, P)
         Ft = zfun_b(Zt.reshape(-1, P)).reshape(ls_steps, B)
-        ok = (Ft <= F[None] + c1 * ts[:, None] * gd[None]) & jnp.isfinite(Ft)
+        ok = (Ft <= F[None] + c1 * ts_eff * gd[None]) & jnp.isfinite(Ft)
         any_ok = jnp.any(ok, axis=0)                     # (B,)
         idx = jnp.argmax(ok, axis=0)                     # (B,)
-        t = jnp.where(any_ok, ts[idx], 0.0)
+        t = jnp.where(any_ok, jnp.take_along_axis(
+            ts_eff, idx[None], axis=0)[0], 0.0)
 
         Z_new = Z + t[:, None] * D
         F_new, G_new = val_and_grad(Z_new)

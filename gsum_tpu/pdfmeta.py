@@ -43,7 +43,11 @@ def save_figure_with_metadata(fig, path, metadata):
 
 
 def _validate_key(key):
-    if not re.fullmatch(r'[^\s/<>\[\]()]+', key) or not key.isascii():
+    # the excluded class is the full spec delimiter set — including %
+    # (comment start), # (the name-escape character, which compliant
+    # readers would decode: 'a#20b' reads back as 'a b'), and {} —
+    # not just the ones this module's own parser trips on
+    if not re.fullmatch(r'[^\s/<>\[\](){}%#]+', key) or not key.isascii():
         raise ValueError('invalid PDF Info key %r: keys must be ASCII with '
                          'no whitespace or delimiter characters' % (key,))
 
@@ -123,26 +127,123 @@ def _find_object(data, num):
     return data[start:end]
 
 
-def _parse_info_dict(body):
-    """``/Key (literal)`` and ``/Key <hex>`` entries of an Info dict."""
-    text = body
-    out = {}
-    for m in re.finditer(
-            rb'/([^\s/<>\[\]()]+)\s*(\((?:[^()\\]|\\.)*\)|<[0-9A-Fa-f\s]*>)',
-            text):
-        key = m.group(1).decode('latin-1')
-        val = m.group(2)
-        if val.startswith(b'('):
-            out[key] = _unescape_literal(val[1:-1].decode('latin-1'))
-        else:
-            hexstr = re.sub(rb'\s', b'', val[1:-1]).decode('ascii')
-            if len(hexstr) % 2:
-                hexstr += '0'
-            raw = bytes.fromhex(hexstr)
-            if raw[:2] == b'\xfe\xff':
-                out[key] = raw[2:].decode('utf-16-be')
+def _scan_literal(text, i):
+    """End index (past ')') of the literal string starting at text[i]=='('.
+    Handles escapes and the BALANCED unescaped parens the spec allows."""
+    depth, j = 0, i
+    n = len(text)
+    while j < n:
+        c = text[j:j + 1]
+        if c == b'\\':
+            j += 2
+            continue
+        if c == b'(':
+            depth += 1
+        elif c == b')':
+            depth -= 1
+            if depth == 0:
+                return j + 1
+        j += 1
+    raise ValueError('unterminated PDF literal string')
+
+
+def _scan_value(text, i):
+    """``(end, kind)`` of the PDF value starting at text[i]; kind is
+    'str' for string objects (decodable) and 'raw' for everything an
+    Info dict may legally hold besides strings — names (/Trapped /False),
+    indirect references (12 0 R), numbers, booleans, arrays — which the
+    rewrite must carry through VERBATIM rather than drop or re-type."""
+    c = text[i:i + 1]
+    if c == b'(':
+        return _scan_literal(text, i), 'str'
+    if text[i:i + 2] == b'<<':  # nested dict (rare in Info): balanced scan
+        depth, j = 0, i
+        while j < len(text):
+            if text[j:j + 2] == b'<<':
+                depth += 1
+                j += 2
+            elif text[j:j + 2] == b'>>':
+                depth -= 1
+                j += 2
+                if depth == 0:
+                    return j, 'raw'
+            elif text[j:j + 1] == b'(':
+                j = _scan_literal(text, j)
             else:
-                out[key] = raw.decode('latin-1')
+                j += 1
+        raise ValueError('unterminated PDF dictionary')
+    if c == b'<':
+        j = text.index(b'>', i)
+        return j + 1, 'str'
+    if c == b'[':
+        depth, j = 0, i
+        while j < len(text):
+            cj = text[j:j + 1]
+            if cj == b'(':
+                j = _scan_literal(text, j)
+                continue
+            if cj == b'[':
+                depth += 1
+            elif cj == b']':
+                depth -= 1
+                if depth == 0:
+                    return j + 1, 'raw'
+            j += 1
+        raise ValueError('unterminated PDF array')
+    if c == b'/':  # name value
+        m = re.match(rb'/[^\s/<>\[\](){}%]*', text[i:])
+        return i + m.end(), 'raw'
+    # number, boolean, null — possibly the head of an indirect ref "n g R"
+    m = re.match(rb'\d+\s+\d+\s+R\b', text[i:])
+    if m:
+        return i + m.end(), 'raw'
+    m = re.match(rb'[^\s/<>\[\](){}%]+', text[i:])
+    if m is None:
+        raise ValueError('unparseable PDF value at offset %d' % i)
+    return i + m.end(), 'raw'
+
+
+def _decode_pdf_string(val):
+    if val.startswith(b'('):
+        return _unescape_literal(val[1:-1].decode('latin-1'))
+    hexstr = re.sub(rb'\s', b'', val[1:-1]).decode('ascii')
+    if len(hexstr) % 2:
+        hexstr += '0'
+    raw = bytes.fromhex(hexstr)
+    if raw[:2] == b'\xfe\xff':
+        return raw[2:].decode('utf-16-be')
+    return raw.decode('latin-1')
+
+
+def _parse_info_entries(body):
+    """Ordered ``[(key, kind, value)]`` of an Info dict: kind 'str' with
+    the decoded python string, or 'raw' with the verbatim bytes token."""
+    entries = []
+    i = 0
+    while True:
+        m = re.search(rb'/([^\s/<>\[\](){}%]+)', body[i:])
+        if m is None:
+            break
+        key = m.group(1).decode('latin-1')
+        j = i + m.end()
+        while body[j:j + 1] in (b' ', b'\n', b'\r', b'\t'):
+            j += 1
+        if body[j:j + 1] in (b'', b'>'):
+            break
+        end, kind = _scan_value(body, j)
+        val = (_decode_pdf_string(body[j:end]) if kind == 'str'
+               else body[j:end])
+        entries.append((key, kind, val))
+        i = end
+    return entries
+
+
+def _parse_info_dict(body):
+    """``{key: str}`` of an Info dict; non-string values (names, refs,
+    numbers) are reported as their raw latin-1 token text."""
+    out = {}
+    for key, kind, val in _parse_info_entries(body):
+        out[key] = val if kind == 'str' else val.decode('latin-1')
     return out
 
 
@@ -201,14 +302,22 @@ def add_pdf_metadata(pdf_file, metadata_dict):
     trailer, prev_xref = _last_trailer(data)
     size, root_entry, info_num, ident = _trailer_entries(trailer)
 
+    # key -> ('str', python str) | ('raw', verbatim bytes).  Raw entries
+    # (name values like /Trapped /False, indirect references, numbers)
+    # are carried through unchanged — re-typing them as strings would
+    # corrupt the Info dict for spec-compliant readers.
     merged = {}
     if info_num is not None:
-        merged.update(_parse_info_dict(_find_object(data, info_num)))
-    merged.update({str(k): str(v) for k, v in metadata_dict.items()})
+        for k, kind, v in _parse_info_entries(_find_object(data, info_num)):
+            merged[k] = (kind, v)
+    merged.update({str(k): ('str', str(v))
+                   for k, v in metadata_dict.items()})
 
     new_num = size  # first unused object number
-    entries = ''.join('/%s %s ' % (k, _pdf_string(v))
-                      for k, v in merged.items())
+    entries = ''.join(
+        '/%s %s ' % (k, _pdf_string(v) if kind == 'str'
+                     else v.decode('latin-1'))
+        for k, (kind, v) in merged.items())
     obj = ('%d 0 obj\n<< %s>>\nendobj\n' % (new_num, entries)).encode('latin-1')
 
     base = data if data.endswith(b'\n') else data + b'\n'

@@ -49,8 +49,14 @@ def flops_fit(n, n_curves=1, n_params=1, lml_evals=30):
 def time_fn(fn, *args, reps=3, chain=3):
     """Best-of wall-clock per call; synchronizes via host fetch."""
     def sync(x):
-        leaf = jax.tree_util.tree_leaves(x)[0]
-        return float(jnp.sum(jnp.ravel(leaf)[:1]))
+        # fetch one element of EVERY leaf: a fn composed of several
+        # dispatches finishes its first executable before the others, so
+        # syncing only leaves[0] stops the timer early (host fetch is the
+        # only working sync on the tunneled TPU — block_until_ready is not)
+        total = 0.0
+        for leaf in jax.tree_util.tree_leaves(x):
+            total += float(jnp.sum(jnp.ravel(leaf)[:1]))
+        return total
 
     out = fn(*args)
     sync(out)

@@ -120,3 +120,30 @@ def test_truncation_gp_roundtrip(tmp_path):
                           excluded=[0])
     with pytest.raises(ValueError):
         ck.load(path, bad)
+
+
+def test_restore_rejects_mismatched_kernel(tmp_path):
+    """A checkpoint restored into an instance with a different kernel
+    STRUCTURE (class, composition, fixed shape params, or a different
+    fixed length-scale) must raise, not silently mis-predict; a free
+    kernel with a different initial theta restores exactly."""
+    X = np.linspace(0, 1, 8)[:, None]
+    y = np.sin(3 * X).ravel()
+    gp = gm.ConjugateGaussianProcess(kernel=gm.RBF(0.4, (1e-2, 1e2)),
+                                     optimizer=None, df=3, scale=1).fit(X, y)
+    arrays, meta = checkpoint.state_dict(gp)
+
+    ok = gm.ConjugateGaussianProcess(kernel=gm.RBF(0.9, (1e-2, 1e2)),
+                                     optimizer=None, df=3, scale=1)
+    checkpoint.restore_state(ok, arrays, meta)
+    np.testing.assert_allclose(np.asarray(ok.predict(X)),
+                               np.asarray(gp.predict(X)), rtol=1e-12)
+
+    for bad_kernel in (gm.Matern(0.9, (1e-2, 1e2), nu=1.5),
+                       gm.RBF(0.4, 'fixed'),
+                       gm.ConstantKernel(1.0, (1e-3, 1e3))
+                       * gm.RBF(0.4, (1e-2, 1e2))):
+        bad = gm.ConjugateGaussianProcess(kernel=bad_kernel, optimizer=None,
+                                          df=3, scale=1)
+        with pytest.raises(ValueError, match='kernel'):
+            checkpoint.restore_state(bad, arrays, meta)

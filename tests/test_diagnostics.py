@@ -155,7 +155,10 @@ def test_plotzilla_and_essentials(graphical):
 def test_variogram_plot(graphical):
     import matplotlib.pyplot as plt
 
-    graphical.variogram(np.linspace(0, 1, N)[:, None])
+    ax = graphical.variogram(np.linspace(0, 1, N)[:, None], n_bins=6)
+    # exactly n_bins points per curve: a bound placed exactly at d.max()
+    # used to push the extreme pair into a meaningless 7th one-pair bin
+    assert all(len(ln.get_xdata()) == 6 for ln in ax.lines)
     plt.close('all')
 
 

@@ -86,3 +86,62 @@ def test_unicode_metadata_roundtrip(figure_pdf):
     # non-ASCII keys are rejected with a clear error
     with pytest.raises(ValueError):
         add_pdf_metadata(figure_pdf, {'Λkey': 'x'})
+
+
+def test_key_validation_rejects_all_pdf_delimiters():
+    """%, #, {, } are PDF delimiters/escapes: '%' starts a comment, '#'
+    is the name-escape compliant readers decode ('a#20b' -> 'a b')."""
+    from gsum_tpu.pdfmeta import _validate_key
+
+    for bad in ('a%b', 'a#20b', 'a{b', 'a}b', 'a b', 'a/b', 'a(b'):
+        with pytest.raises(ValueError):
+            _validate_key(bad)
+    _validate_key('BUQEYE-provenance')
+
+
+def test_add_metadata_preserves_nonstring_info_entries(tmp_path):
+    """Name values (/Trapped /False), indirect refs, and balanced-paren
+    literals in an existing Info dict must survive the rewrite verbatim
+    instead of being dropped or re-typed as strings."""
+    from gsum_tpu.pdfmeta import (_parse_info_entries, add_pdf_metadata,
+                                  get_pdf_metadata)
+
+    path = str(tmp_path / 'doc.pdf')
+    # minimal single-page PDF with a rich Info dict
+    objs = [
+        b'1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n',
+        b'2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n',
+        b'3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 10 10] >>\n'
+        b'endobj\n',
+        b'4 0 obj\n<< /Title (a(b)c) /Trapped /False /Priority 3 >>\n'
+        b'endobj\n',
+    ]
+    head = b'%PDF-1.4\n'
+    offsets, body = [], head
+    for o in objs:
+        offsets.append(len(body))
+        body += o
+    xref_at = len(body)
+    xref = b'xref\n0 5\n0000000000 65535 f \n' + b''.join(
+        b'%010d 00000 n \n' % off for off in offsets)
+    trailer = (b'trailer\n<< /Size 5 /Root 1 0 R /Info 4 0 R >>\n'
+               b'startxref\n%d\n%%%%EOF\n' % xref_at)
+    with open(path, 'wb') as fh:
+        fh.write(body + xref + trailer)
+
+    add_pdf_metadata(path, {'Custom': 'value'})
+    meta = get_pdf_metadata(path, exclude=False)
+    assert meta['Custom'] == 'value'
+    assert meta['Title'] == 'a(b)c'        # balanced-paren literal intact
+    assert meta['Trapped'] == '/False'     # name value preserved
+    assert meta['Priority'] == '3'         # number preserved
+
+    # the rewritten Info object still carries the raw tokens verbatim
+    with open(path, 'rb') as fh:
+        data = fh.read()
+    start = data.rindex(b' 0 obj', 0, data.rindex(b'endobj'))
+    tail = data[data.rindex(b'0 obj'):]
+    entries = dict((k, (kind, v))
+                   for k, kind, v in _parse_info_entries(tail))
+    assert entries['Trapped'] == ('raw', b'/False')
+    assert entries['Priority'] == ('raw', b'3')
