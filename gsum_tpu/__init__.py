@@ -53,6 +53,9 @@ from .datasets import make_gaussian_partial_sums_uniform
 
 from .pdfmeta import add_pdf_metadata, get_pdf_metadata
 
+from .derivs import deriv_cov, deriv_mean, kernel_deriv_cov
+
+from . import derivs
 from . import stats
 from . import linalg
 from . import checkpoint

@@ -38,7 +38,8 @@ _ARRAY_FIELDS = [
 _EIGH_FIELDS = ['_eigh_eig', '_eigh_Q']
 
 
-_TRUNC_ARRAY_FIELDS = ['X_train_', 'y_train_', 'coeffs_', 'dX_', 'dy_']
+_TRUNC_ARRAY_FIELDS = ['X_train_', 'y_train_', 'coeffs_', 'dX_', 'dy_',
+                       'dderivs_']
 
 
 def state_dict(gp):

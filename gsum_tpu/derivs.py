@@ -1,0 +1,210 @@
+R"""Derivative observations and constraints for GP models, via autodiff.
+
+The reference prototypes derivative-constrained GPs in
+``examples/Constraints.ipynb`` (reference: Constraints.ipynb cells 2-7):
+hand-derived RBF derivative kernels ``d_rbf``/``d2_rbf`` and a general
+Hermite-polynomial factor formula for :math:`\partial^a_x \partial^b_{x'}
+k_{\mathrm{RBF}}(x, x')`.  That algebra never made it into the library API
+(the notebook is scratch work — cell 3 even references an undefined
+``K_all``).
+
+This module is the finished, TPU-native version of that capability, and it
+is *kernel-generic*: because every kernel in :mod:`gsum_tpu.kernels` (and
+every mean/covariance assembled from them by the models) is a pure JAX
+function, the cross-covariances between derivative observations
+
+.. math::
+
+    \mathrm{cov}\!\left[\partial^{a} f(x),\, \partial^{b} f(x')\right]
+        = \partial^{a}_{x} \partial^{b}_{x'} k(x, x')
+
+are computed with nested ``jax.grad`` instead of per-kernel Hermite
+algebra — any differentiable kernel (RBF, Matern nu>=1.5 first order,
+RationalQuadratic, products/sums, and the models' full truncation-error
+covariance including the x-dependence of ``ratio``/``ref``) gets exact
+derivative cross-covariances for free, at any per-dimension multi-order.
+
+Derivative orders are *concrete* (numpy) inputs: points are grouped by
+their multi-order on the host and each block is evaluated with a
+statically-nested gradient under ``vmap``, so everything stays
+jit-compatible with static shapes.
+
+Used by :class:`gsum_tpu.models.TruncationProcess` to support derivative
+constraints on the truncation error (``fit(..., dX=, dy=, dderivs=)``),
+e.g. enforcing a symmetry slope :math:`\partial_x (y_\infty - y_k) = 0` at
+:math:`x = 0` — a strict superset of the reference's value-only
+constraint mechanism (reference: models.py:1464-1473).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import _config  # noqa: F401
+
+__all__ = ['normalize_orders', 'deriv_cov', 'deriv_mean', 'deriv_basis',
+           'kernel_deriv_cov']
+
+
+def normalize_orders(d, n_points, n_features):
+    """Validates and broadcasts derivative orders to an (N, n_features)
+    integer array.
+
+    ``d`` may be None (all zeros: plain value observations), a scalar, an
+    (N,) vector (n_features must be 1), or an (N, n_features) array of
+    non-negative per-dimension derivative orders.
+    """
+    if d is None:
+        return np.zeros((n_points, n_features), dtype=int)
+    d = np.asarray(d)
+    if not np.issubdtype(d.dtype, np.integer):
+        if not np.all(d == np.round(d)):
+            raise ValueError('derivative orders must be integers')
+        d = d.astype(int)
+    if np.any(d < 0):
+        raise ValueError('derivative orders must be >= 0')
+    if d.ndim == 0:
+        d = np.full((n_points, n_features), int(d))
+    elif d.ndim == 1:
+        if n_features != 1:
+            raise ValueError(
+                'a 1d derivative-order array is ambiguous for %d features; '
+                'pass shape (n_points, n_features)' % n_features)
+        d = d[:, None]
+    if d.shape != (n_points, n_features):
+        raise ValueError('derivative orders have shape %s, expected %s'
+                         % (d.shape, (n_points, n_features)))
+    return d
+
+
+def _group_by_order(d):
+    """Groups row indices by their derivative multi-order.
+
+    Returns a list of ``(multi_order_tuple, index_array)`` with concrete
+    host-side indices, so each group's block keeps a static gradient
+    structure.
+    """
+    groups = {}
+    for i, row in enumerate(np.asarray(d)):
+        groups.setdefault(tuple(int(v) for v in row), []).append(i)
+    return [(order, np.asarray(idx)) for order, idx in groups.items()]
+
+
+def _derivatize_pair(f, multi_order, argnum):
+    """Applies ``multi_order[dim]`` nested d/dx_dim to a scalar pair
+    function ``f(x, xp)`` in its ``argnum``-th argument."""
+    for dim, times in enumerate(multi_order):
+        for _ in range(int(times)):
+            # bind loop variables via defaults: late binding would make
+            # every level differentiate the same (last) function
+            def f(x, xp, _f=f, _dim=dim):
+                return jax.grad(_f, argnums=argnum)(x, xp)[_dim]
+    return f
+
+
+def _derivatize_single(f, multi_order):
+    """Same for a single-argument function ``f(x)`` (scalar or vector
+    valued — uses jacfwd so vector-valued bases work too)."""
+    for dim, times in enumerate(multi_order):
+        for _ in range(int(times)):
+            def f(x, _f=f, _dim=dim):
+                return jax.jacfwd(_f)(x)[..., _dim]
+    return f
+
+
+def deriv_cov(cov_fn, X1, d1, X2=None, d2=None):
+    R"""Cross-covariance matrix between derivative observations.
+
+    Parameters
+    ----------
+    cov_fn : callable ``(x, xp) -> scalar`` — the covariance function on a
+        single pair of points (each of shape ``(n_features,)``), traceable
+        by JAX.
+    X1 : (N1, n_features) observation points
+    d1 : derivative orders for X1 (see :func:`normalize_orders`)
+    X2, d2 : optional second set; defaults to ``(X1, d1)``
+
+    Returns
+    -------
+    (N1, N2) matrix with entry ``[i, j]`` equal to
+    :math:`\partial^{d1_i}_{x} \partial^{d2_j}_{x'}\, k(x, x')`
+    evaluated at ``(X1[i], X2[j])``.
+    """
+    X1 = jnp.atleast_2d(jnp.asarray(X1))
+    if X2 is None:
+        X2, d2 = X1, d1
+    else:
+        X2 = jnp.atleast_2d(jnp.asarray(X2))
+    n1, nf = X1.shape
+    n2 = X2.shape[0]
+    d1 = normalize_orders(d1, n1, nf)
+    d2 = normalize_orders(d2, n2, nf)
+
+    out = jnp.zeros((n1, n2), dtype=jnp.result_type(X1.dtype, X2.dtype,
+                                                    float))
+    for o1, i1 in _group_by_order(d1):
+        f1 = _derivatize_pair(cov_fn, o1, argnum=0)
+        for o2, i2 in _group_by_order(d2):
+            f12 = _derivatize_pair(f1, o2, argnum=1)
+            block = jax.vmap(lambda x: jax.vmap(lambda xp: f12(x, xp))(X2[i2]))(X1[i1])
+            out = out.at[jnp.ix_(jnp.asarray(i1), jnp.asarray(i2))].set(block)
+    return out
+
+
+def deriv_mean(mean_fn, X, d):
+    """Vector of derivative observations of a scalar mean function.
+
+    ``mean_fn(x) -> scalar`` on a single ``(n_features,)`` point; returns
+    the (N,) vector of per-point derivatives of the requested orders.
+    """
+    X = jnp.atleast_2d(jnp.asarray(X))
+    n, nf = X.shape
+    d = normalize_orders(d, n, nf)
+    out = jnp.zeros((n,), dtype=jnp.result_type(X.dtype, float))
+    for o, idx in _group_by_order(d):
+        f = _derivatize_single(mean_fn, o)
+        vals = jax.vmap(f)(X[idx])
+        out = out.at[jnp.asarray(idx)].set(vals)
+    return out
+
+
+def deriv_basis(basis_fn, X, d):
+    """Matrix of derivative observations of a vector-valued basis.
+
+    ``basis_fn(x) -> (p,)`` on a single point; returns (N, p) with row i
+    the ``d[i]``-derivative of the basis at ``X[i]``.  Used by the
+    Student-t mean-uncertainty correction, whose conditional bases must be
+    differentiated consistently with the covariance
+    (reference: models.py:1527-1570 conditions value bases only).
+    """
+    X = jnp.atleast_2d(jnp.asarray(X))
+    n, nf = X.shape
+    d = normalize_orders(d, n, nf)
+    p = basis_fn(X[0]).shape[0]
+    out = jnp.zeros((n, p), dtype=jnp.result_type(X.dtype, float))
+    for o, idx in _group_by_order(d):
+        f = _derivatize_single(basis_fn, o)
+        vals = jax.vmap(f)(X[idx])
+        out = out.at[jnp.asarray(idx)].set(vals)
+    return out
+
+
+def kernel_deriv_cov(kernel, X1, d1, X2=None, d2=None, theta=None):
+    R"""Derivative cross-covariances of a :mod:`gsum_tpu.kernels` kernel.
+
+    Convenience wrapper: scalarizes ``kernel.value_fn`` onto single point
+    pairs and dispatches to :func:`deriv_cov`.  ``theta`` defaults to the
+    kernel's current log-parameters.
+
+    Note: the kernel must be differentiable at the evaluation points —
+    ``WhiteKernel`` terms (delta functions) and ``Matern(nu=0.5)`` (kinked
+    at zero distance) have no meaningful derivative observations.
+    """
+    frozen = kernel.clone()
+    th = jnp.asarray(frozen.theta if theta is None else theta)
+
+    def cov_fn(x, xp):
+        return frozen.value_fn(th, x[None, :], xp[None, :])[0, 0]
+
+    return deriv_cov(cov_fn, X1, d1, X2, d2)

@@ -956,6 +956,7 @@ class TruncationProcess:
         self.orders_ = None
         self.dX_ = None
         self.dy_ = None
+        self.dderivs_ = None
         self.coeffs_ = None
 
     def mean(self, X, start=0, end=np.inf):
@@ -994,10 +995,52 @@ class TruncationProcess:
             return y_mean, jnp.sqrt(jnp.diag(self.cov(X, start=order + 1)))
         return y_mean
 
-    def fit(self, X, y, orders, dX=None, dy=None):
+    def _trunc_scalar_fns(self, start, end):
+        """Single-point (scalar) forms of the summed process's mean,
+        covariance, and basis, for autodiff derivative observations
+        (:mod:`gsum_tpu.derivs`).  Each takes ``(n_features,)`` points and
+        reproduces :meth:`mean`/:meth:`cov`/:meth:`basis` exactly —
+        including the x-dependence of ``ratio``/``ref`` and, for Student-t
+        coefficient processes, the basis-dispersion covariance term."""
+        proc = self.coeffs_process
+        ratio_kws = self.ratio_kws
+        excluded = self.excluded
+
+        def cov_fn(x, xp):
+            X1, X2 = x[None, :], xp[None, :]
+            ratio_mat = self.ratio(X1, **ratio_kws)[:, None] \
+                * self.ratio(X2, **ratio_kws)
+            rsum = geometric_sum(x=ratio_mat, start=start, end=end,
+                                 excluded=excluded)
+            ref_mat = self.ref(X1)[:, None] * self.ref(X2)
+            return (ref_mat * rsum * proc.cov(X=X1, Xp=X2))[0, 0]
+
+        def mean_fn(x):
+            X1 = x[None, :]
+            rsum = geometric_sum(x=self.ratio(X1, **ratio_kws), start=start,
+                                 end=end, excluded=excluded)
+            return (self.ref(X1) * rsum * proc.mean(X=X1))[0]
+
+        def basis_fn(x):
+            return self.basis(X=x[None, :], start=start, end=end)[0]
+
+        return cov_fn, mean_fn, basis_fn
+
+    def fit(self, X, y, orders, dX=None, dy=None, dderivs=None):
         """Extracts coefficients and fits the coefficient process.
 
         reference: models.py:1367-1387.
+
+        ``dderivs`` (this library only; reference supports value
+        constraints alone, models.py:1464-1473): per-dimension derivative
+        orders of the constraint observations ``dy`` at ``dX`` — e.g.
+        ``dderivs=[[1]]`` makes ``dy[0]`` a constraint on the *slope* of
+        the truncation error at ``dX[0]``.  None or zeros reproduce the
+        reference's value constraints exactly.  Cross-covariances between
+        derivative observations are computed by autodiff of the full
+        truncation covariance (including the x-dependence of ratio/ref)
+        in :mod:`gsum_tpu.derivs` — ratio/ref callables must therefore be
+        jnp-traceable when derivative constraints are used.
         """
         X = jnp.atleast_2d(jnp.asarray(X))
         y = jnp.asarray(y)
@@ -1009,6 +1052,16 @@ class TruncationProcess:
 
         self.dX_ = dX
         self.dy_ = dy
+        if dderivs is not None:
+            if dX is None:
+                raise ValueError('dderivs requires constraint points dX')
+            from .derivs import normalize_orders
+            dX_arr = np.atleast_2d(np.asarray(dX))
+            dderivs = normalize_orders(dderivs, dX_arr.shape[0],
+                                       dX_arr.shape[1])
+            if not np.any(dderivs):
+                dderivs = None  # all-zero orders == plain value constraints
+        self.dderivs_ = dderivs
 
         ratio = self.ratio(X, **self.ratio_kws)
         ref = self.ref(X)
@@ -1077,9 +1130,23 @@ class TruncationProcess:
 
             X_trunc = self.dX_
             if X_trunc is not None:  # truncation error is constrained
-                m_old_trunc = self.mean(X=X_trunc, start=order + 1, end=np.inf)
-                K_oo_trunc = self.cov(X=X_trunc, Xp=X_trunc, start=order + 1, end=np.inf)
-                K_on_trunc = self.cov(X=X_trunc, Xp=X, start=order + 1, end=np.inf)
+                if self.dderivs_ is not None:
+                    # derivative constraints: the conditioning matrices are
+                    # autodiff derivative cross-covariances of the full
+                    # truncation covariance (derivs.py; beyond-reference)
+                    from .derivs import deriv_cov, deriv_mean
+                    Xd = jnp.atleast_2d(jnp.asarray(X_trunc))
+                    dd = self.dderivs_
+                    zeros_n = np.zeros((X.shape[0], Xd.shape[1]), dtype=int)
+                    cov_fn, mean_fn, _ = self._trunc_scalar_fns(
+                        start=order + 1, end=np.inf)
+                    m_old_trunc = deriv_mean(mean_fn, Xd, dd)
+                    K_oo_trunc = deriv_cov(cov_fn, Xd, dd)
+                    K_on_trunc = deriv_cov(cov_fn, Xd, dd, X, zeros_n)
+                else:
+                    m_old_trunc = self.mean(X=X_trunc, start=order + 1, end=np.inf)
+                    K_oo_trunc = self.cov(X=X_trunc, Xp=X_trunc, start=order + 1, end=np.inf)
+                    K_on_trunc = self.cov(X=X_trunc, Xp=X, start=order + 1, end=np.inf)
                 K_no_trunc = K_on_trunc.T
 
                 Lok_trunc = robust_cholesky(K_oo_trunc)
@@ -1211,13 +1278,30 @@ class TruncationTP(TruncationProcess):
         if kind in ('both', 'trunc'):
             X_trunc = self.dX_
             if X_trunc is not None:
-                K_no_trunc = self.cov(X=X, Xp=X_trunc, start=order + 1, end=np.inf)
+                if self.dderivs_ is not None:
+                    # derivative constraints: conditional basis + cross-cov
+                    # must be differentiated consistently with the
+                    # derivative-aware K_oo factor from super().predict
+                    from .derivs import deriv_basis, deriv_cov
+                    Xd = jnp.atleast_2d(jnp.asarray(X_trunc))
+                    dd = self.dderivs_
+                    zeros_n = np.zeros((X.shape[0], Xd.shape[1]), dtype=int)
+                    cov_fn, _, basis_fn = self._trunc_scalar_fns(
+                        start=order + 1, end=np.inf)
+                    K_no_trunc = deriv_cov(cov_fn, X, zeros_n, Xd, dd)
+                    basis_trunc_old = deriv_basis(basis_fn, Xd, dd)
+                else:
+                    K_no_trunc = self.cov(X=X, Xp=X_trunc, start=order + 1, end=np.inf)
+                    basis_trunc_old = self.basis(X=X_trunc, start=order + 1, end=np.inf)
                 Lok_trunc = parts.get('Lok_trunc')
                 if Lok_trunc is None:  # pragma: no cover — defensive
-                    Lok_trunc = robust_cholesky(self.cov(
-                        X=X_trunc, Xp=X_trunc, start=order + 1, end=np.inf))
+                    if self.dderivs_ is not None:
+                        K_oo_d = deriv_cov(cov_fn, Xd, dd)
+                    else:
+                        K_oo_d = self.cov(X=X_trunc, Xp=X_trunc,
+                                          start=order + 1, end=np.inf)
+                    Lok_trunc = robust_cholesky(K_oo_d)
 
-                basis_trunc_old = self.basis(X=X_trunc, start=order + 1, end=np.inf)
                 basis_trunc_new = self.basis(X=X, start=order + 1, end=np.inf)
                 basis_trunc = basis_trunc_new \
                     - K_no_trunc @ robust_cho_solve(Lok_trunc,

@@ -1,0 +1,335 @@
+R"""Derivative observations / constraints (gsum_tpu.derivs).
+
+The reference prototypes this capability in examples/Constraints.ipynb
+(hand-derived RBF derivative kernels + Hermite factors) but never ships it
+in the library API.  Here the autodiff-built derivative cross-covariances
+are validated against (a) independently-implemented closed-form RBF
+derivative formulas (the same math as the reference prototype's
+d_rbf/d2_rbf, Constraints.ipynb cell 2), (b) central finite differences
+for composite kernels, and (c) conditioning invariants on constrained
+truncation processes: pinning the slope of the truncation error must pin
+the slope of every posterior draw.
+"""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+import gsum_tpu as gm
+from gsum_tpu.derivs import (deriv_basis, deriv_cov, deriv_mean,
+                             kernel_deriv_cov, normalize_orders)
+
+
+# ----------------------------------------------------------------------
+# Closed-form RBF oracle (numpy, independent of the library)
+# ----------------------------------------------------------------------
+def _rbf_np(x, xp, ls):
+    tau = x[:, None] - xp[None, :]
+    return np.exp(-0.5 * tau ** 2 / ls ** 2), tau
+
+
+def rbf_d0_d1(x, xp, ls):
+    """cov[f(x), f'(xp)] = d/dxp k = +tau/ls^2 * k  (tau = x - xp)."""
+    k, tau = _rbf_np(x, xp, ls)
+    return tau / ls ** 2 * k
+
+
+def rbf_d1_d1(x, xp, ls):
+    """cov[f'(x), f'(xp)] = (1/ls^2 - tau^2/ls^4) k."""
+    k, tau = _rbf_np(x, xp, ls)
+    return (1.0 / ls ** 2 - tau ** 2 / ls ** 4) * k
+
+
+def rbf_d2_d0(x, xp, ls):
+    """cov[f''(x), f(xp)] = (tau^2/ls^4 - 1/ls^2) k."""
+    k, tau = _rbf_np(x, xp, ls)
+    return (tau ** 2 / ls ** 4 - 1.0 / ls ** 2) * k
+
+
+def rbf_d2_d2(x, xp, ls):
+    """cov[f''(x), f''(xp)] = (3/ls^4 - 6 tau^2/ls^6 + tau^4/ls^8) k."""
+    k, tau = _rbf_np(x, xp, ls)
+    return (3.0 / ls ** 4 - 6.0 * tau ** 2 / ls ** 6
+            + tau ** 4 / ls ** 8) * k
+
+
+def test_normalize_orders_shapes_and_validation():
+    assert normalize_orders(None, 3, 2).shape == (3, 2)
+    np.testing.assert_array_equal(normalize_orders([0, 1, 2], 3, 1),
+                                  [[0], [1], [2]])
+    with pytest.raises(ValueError):
+        normalize_orders([0, 1], 2, 2)          # ambiguous 1d for 2 features
+    with pytest.raises(ValueError):
+        normalize_orders([-1], 1, 1)            # negative order
+    with pytest.raises(ValueError):
+        normalize_orders([0.5], 1, 1)           # non-integer order
+
+
+def test_rbf_deriv_cov_matches_closed_form():
+    ls = 0.7
+    x = np.linspace(0.0, 1.0, 5)
+    xp = np.linspace(0.1, 0.9, 4)
+    kern = gm.RBF(ls, (1e-2, 1e2))
+    X, Xp = x[:, None], xp[:, None]
+
+    for orders, oracle in [
+        ((0, 1), rbf_d0_d1),
+        ((1, 1), rbf_d1_d1),
+        ((2, 0), rbf_d2_d0),
+        ((2, 2), rbf_d2_d2),
+    ]:
+        a, b = orders
+        got = np.asarray(kernel_deriv_cov(
+            kern, X, np.full(len(x), a), Xp, np.full(len(xp), b)))
+        np.testing.assert_allclose(got, oracle(x, xp, ls), rtol=1e-12,
+                                   atol=1e-14, err_msg=str(orders))
+
+
+def test_zero_orders_reproduce_kernel_values():
+    kern = gm.ConstantKernel(2.5, (1e-2, 1e2)) * gm.RBF(0.4, (1e-2, 1e2))
+    X = np.random.RandomState(0).rand(6, 2)
+    got = np.asarray(kernel_deriv_cov(kern, X, None))
+    np.testing.assert_allclose(got, np.asarray(kern(X)), rtol=1e-13)
+
+
+def test_mixed_orders_single_matrix():
+    """One call with per-point mixed orders equals the blockwise oracle."""
+    ls = 0.5
+    x = np.array([0.0, 0.3, 0.8])
+    d = np.array([0, 1, 0])
+    kern = gm.RBF(ls, (1e-2, 1e2))
+    got = np.asarray(kernel_deriv_cov(kern, x[:, None], d))
+
+    k, _ = _rbf_np(x, x, ls)
+    want = k.copy()
+    # row/col 1 is a slope observation; d/dx k = -tau/ls^2 k = -(d/dxp k)
+    want[1, :] = -rbf_d0_d1(x, x, ls)[1, :]
+    want[:, 1] = rbf_d0_d1(x, x, ls)[:, 1]
+    want[1, 1] = rbf_d1_d1(x, x, ls)[1, 1]
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-14)
+
+
+def test_composite_kernel_first_deriv_finite_difference():
+    """Autodiff first-derivative cross-covariances vs central differences
+    for a composite kernel in 2 features (per-dimension orders)."""
+    kern = gm.ConstantKernel(1.7, (1e-2, 1e2)) * gm.RBF([0.6, 0.9]) \
+        + gm.RationalQuadratic(0.8, alpha=1.3)
+    rng = np.random.RandomState(1)
+    X1 = rng.rand(4, 2)
+    X2 = rng.rand(3, 2)
+    theta = jnp.asarray(kern.theta)
+    frozen = kern.clone()
+
+    def k_pair(x, xp):
+        return float(np.asarray(frozen.value_fn(
+            jnp.asarray(theta), jnp.asarray(x)[None], jnp.asarray(xp)[None])[0, 0]))
+
+    h = 1e-5
+    for dim in (0, 1):
+        d1 = np.zeros((4, 2), dtype=int)
+        d1[:, dim] = 1
+        got = np.asarray(kernel_deriv_cov(kern, X1, d1, X2, None))
+        want = np.empty((4, 3))
+        for i in range(4):
+            for j in range(3):
+                xp_ = X1[i].copy()
+                xm_ = X1[i].copy()
+                xp_[dim] += h
+                xm_[dim] -= h
+                want[i, j] = (k_pair(xp_, X2[j]) - k_pair(xm_, X2[j])) / (2 * h)
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-9)
+
+
+def test_extended_deriv_matrix_is_psd():
+    """[values; slopes] joint covariance must be PSD (it is the covariance
+    of the vector (f(X), f'(X)) under the GP)."""
+    kern = gm.RBF(0.5, (1e-2, 1e2))
+    x = np.linspace(0, 1, 7)[:, None]
+    X_ext = np.vstack([x, x])
+    d_ext = np.concatenate([np.zeros(7, dtype=int), np.ones(7, dtype=int)])
+    K = np.asarray(kernel_deriv_cov(kern, X_ext, d_ext))
+    np.testing.assert_allclose(K, K.T, atol=1e-14)
+    w = np.linalg.eigvalsh(K)
+    assert w.min() > -1e-10
+
+
+# ----------------------------------------------------------------------
+# Truncation-process scalarization + derivative constraints
+# ----------------------------------------------------------------------
+def _toy_truncation(proc_cls=gm.TruncationGP, ratio=0.45, **kws):
+    X = np.linspace(0.05, 1.0, 20)[:, None]
+    orders = np.arange(4)
+    ratio_data = (np.asarray(ratio(jnp.asarray(X))) if callable(ratio)
+                  else ratio)
+    y = np.asarray(gm.toy_data(X, orders, ratio=ratio_data, ref=5.0, ls=0.3,
+                               sd=1.0, rng=3))
+    kern = gm.ConstantKernel(1.0, (1e-3, 1e3)) * gm.RBF(0.3, (1e-2, 10))
+    tp = proc_cls(kernel=kern, ratio=ratio, ref=5.0, df=6, scale=1.0,
+                  optimizer=None, **kws)
+    return tp, X, y, orders
+
+
+def test_trunc_scalar_fns_match_matrix_forms():
+    """The scalarized mean/cov/basis used for autodiff must reproduce the
+    matrix-path mean/cov/basis exactly at zero derivative order."""
+    tp, X, y, orders = _toy_truncation()
+    tp.fit(X, y, orders=orders)
+    cov_fn, mean_fn, basis_fn = tp._trunc_scalar_fns(start=3, end=np.inf)
+
+    Xs = np.linspace(0.1, 0.9, 6)[:, None]
+    zeros = np.zeros((6, 1), dtype=int)
+    np.testing.assert_allclose(
+        np.asarray(deriv_cov(cov_fn, Xs, zeros)),
+        np.asarray(tp.cov(Xs, start=3, end=np.inf)), rtol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(deriv_mean(mean_fn, Xs, zeros)),
+        np.asarray(tp.mean(Xs, start=3, end=np.inf)), rtol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(deriv_basis(basis_fn, Xs, zeros)),
+        np.asarray(tp.basis(Xs, start=3, end=np.inf)), rtol=1e-12)
+
+
+def test_trunc_deriv_mean_chain_rule_with_x_dependent_ratio():
+    """deriv_mean must differentiate through an x-dependent ratio(X)."""
+    def ratio(X):
+        return 0.3 + 0.2 * jnp.sin(2.0 * X[:, 0])
+
+    tp, X, y, orders = _toy_truncation(ratio=ratio)
+    tp.fit(X, y, orders=orders)
+    _, mean_fn, _ = tp._trunc_scalar_fns(start=4, end=np.inf)
+
+    x0 = np.array([[0.4]])
+    got = float(np.asarray(deriv_mean(mean_fn, x0, np.array([[1]])))[0])
+    h = 1e-6
+    mp = float(np.asarray(tp.mean(np.array([[0.4 + h]]), start=4))[0])
+    mm = float(np.asarray(tp.mean(np.array([[0.4 - h]]), start=4))[0])
+    np.testing.assert_allclose(got, (mp - mm) / (2 * h), rtol=1e-6)
+
+
+def _slope_pinch(tp, X, y, orders, x0, dderivs, proc='gp'):
+    """Fits with a slope constraint at x0 and returns the variance of the
+    symmetric difference f(x0+e) - f(x0-e) of the truncation error,
+    which approximates (2e)^2 Var[f'(x0)]."""
+    tp.fit(X, y, orders=orders, dX=np.array([[x0]]), dy=np.array([0.0]),
+           dderivs=dderivs)
+    e = 1e-3
+    Xq = np.array([[x0 - e], [x0 + e]])
+    _, K = tp.predict(Xq, order=int(orders[-1]), return_cov=True,
+                      kind='trunc')
+    K = np.asarray(K)
+    return K[0, 0] + K[1, 1] - 2 * K[0, 1]
+
+
+def test_truncation_gp_slope_constraint_pins_slope():
+    tp, X, y, orders = _toy_truncation()
+    x0 = 0.55
+
+    # unconstrained slope variance at x0 (scale reference)
+    tp_un, *_ = _toy_truncation()
+    tp_un.fit(X, y, orders=orders)
+    e = 1e-3
+    Xq = np.array([[x0 - e], [x0 + e]])
+    _, K_un = tp_un.predict(Xq, order=3, return_cov=True, kind='trunc')
+    K_un = np.asarray(K_un)
+    q_un = K_un[0, 0] + K_un[1, 1] - 2 * K_un[0, 1]
+
+    q = _slope_pinch(tp, X, y, orders, x0, dderivs=np.array([[1]]))
+    # the slope-difference variance collapses by orders of magnitude
+    assert q < q_un / 100.0, (q, q_un)
+
+    # the posterior *mean* slope of the truncation error is pinned to the
+    # constraint value (0) at x0
+    m, _ = tp.predict(Xq, order=3, return_std=True, kind='trunc')
+    m = np.asarray(m)
+    slope = (m[1] - m[0]) / (2 * e)
+    assert abs(slope) < 1e-4, slope
+
+    # a VALUE constraint at the same point does NOT pin the slope
+    q_val = _slope_pinch(*(_toy_truncation()[0:1]) + (X, y, orders, x0),
+                         dderivs=None)
+    assert q_val > q * 100.0, (q_val, q)
+
+
+def test_truncation_gp_value_and_slope_mixed_constraints():
+    """Mixed constraints: value pinned at one point, slope at another."""
+    tp, X, y, orders = _toy_truncation()
+    dX = np.array([[0.2], [0.7]])
+    dy = np.array([0.0, 0.0])
+    dd = np.array([[0], [1]])
+    tp.fit(X, y, orders=orders, dX=dX, dy=dy, dderivs=dd)
+
+    # value pinned at 0.2: mean ~0 and tiny variance there
+    m, std = tp.predict(np.array([[0.2]]), order=3, return_std=True,
+                        kind='trunc')
+    assert abs(float(np.asarray(m)[0])) < 1e-8
+    assert float(np.asarray(std)[0]) < 1e-6
+
+    # slope pinned at 0.7
+    e = 1e-3
+    Xq = np.array([[0.7 - e], [0.7 + e]])
+    mq, Kq = tp.predict(Xq, order=3, return_cov=True, kind='trunc')
+    mq, Kq = np.asarray(mq), np.asarray(Kq)
+    assert abs((mq[1] - mq[0]) / (2 * e)) < 1e-4
+    assert Kq[0, 0] + Kq[1, 1] - 2 * Kq[0, 1] < 1e-10
+
+
+def test_truncation_gp_all_zero_dderivs_is_value_path():
+    """dderivs of all zeros must take the exact value-constraint path."""
+    tp, X, y, orders = _toy_truncation()
+    tp.fit(X, y, orders=orders, dX=np.array([[0.0]]), dy=np.array([0.0]),
+           dderivs=np.array([[0]]))
+    assert tp.dderivs_ is None  # routed to the reference-parity path
+
+    tp2, *_ = _toy_truncation()
+    tp2.fit(X, y, orders=orders, dX=np.array([[0.0]]), dy=np.array([0.0]))
+    Xq = np.linspace(0.1, 0.9, 7)[:, None]
+    m1, s1 = tp.predict(Xq, order=3, return_std=True)
+    m2, s2 = tp2.predict(Xq, order=3, return_std=True)
+    np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+
+
+def test_truncation_gp_dderivs_without_dx_raises():
+    tp, X, y, orders = _toy_truncation()
+    with pytest.raises(ValueError):
+        tp.fit(X, y, orders=orders, dderivs=np.array([[1]]))
+
+
+def test_truncation_tp_slope_constraint():
+    """Student-t coefficient process: the derivative-aware conditional
+    basis correction must keep the slope pinch intact."""
+    tp, X, y, orders = _toy_truncation(proc_cls=gm.TruncationTP)
+    x0 = 0.55
+    q = _slope_pinch(tp, X, y, orders, x0, dderivs=np.array([[1]]))
+
+    tp_un, *_ = _toy_truncation(proc_cls=gm.TruncationTP)
+    tp_un.fit(X, y, orders=orders)
+    e = 1e-3
+    Xq = np.array([[x0 - e], [x0 + e]])
+    _, K_un = tp_un.predict(Xq, order=3, return_cov=True, kind='trunc')
+    K_un = np.asarray(K_un)
+    q_un = K_un[0, 0] + K_un[1, 1] - 2 * K_un[0, 1]
+    assert q < q_un / 100.0, (q, q_un)
+
+    m, _ = tp.predict(Xq, order=3, return_std=True, kind='trunc')
+    m = np.asarray(m)
+    assert abs((m[1] - m[0]) / (2 * e)) < 1e-4
+    assert np.isfinite(np.asarray(tp.predict(Xq, order=3))).all()
+
+
+def test_checkpoint_roundtrip_derivative_constraints(tmp_path):
+    from gsum_tpu.checkpoint import load, save
+
+    tp, X, y, orders = _toy_truncation()
+    tp.fit(X, y, orders=orders, dX=np.array([[0.55]]), dy=np.array([0.0]),
+           dderivs=np.array([[1]]))
+    Xq = np.linspace(0.1, 0.9, 5)[:, None]
+    m0, s0 = tp.predict(Xq, order=3, return_std=True)
+
+    path = str(tmp_path / 'tgp_deriv.npz')
+    save(path, tp)
+    tp2, *_ = _toy_truncation()
+    load(path, tp2)
+    m1, s1 = tp2.predict(Xq, order=3, return_std=True)
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m0), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s0), rtol=1e-12)
