@@ -89,6 +89,37 @@ def main():
         tgp.predict(X, order=1, return_std=True, kind="trunc")[1][0])),
         '(vanishes by construction)')
 
+    # --- derivative constraints (beyond the reference) -------------------
+    # An even observable about x=0 has zero SLOPE there, not zero value.
+    # dderivs=[[1]] conditions the truncation error on d/dx = 0 at x=0
+    # (gsum_tpu.derivs: autodiff derivative cross-covariances; the
+    # reference only prototypes this in examples/Constraints.ipynb).
+    tgp_slope = gm.TruncationGP(kernel=kernel, ref=1, ratio=ratio, disp=0,
+                                df=np.inf, scale=1, optimizer=None)
+    tgp_slope.fit(X[::10], yn[::10], orders=orders,
+                  dX=np.array([[0.0]]), dy=np.array([0.0]),
+                  dderivs=np.array([[1]]))
+    m_s, std_s = tgp_slope.predict(X, order=2, return_std=True, kind='trunc')
+    m_s, std_s = np.asarray(m_s), np.asarray(std_s)
+    # the band is flat at x=0 (zero mean slope) but does NOT vanish there
+    slope0 = (m_s[1] - m_s[0]) / (x[1] - x[0])
+    print('slope-constrained trunc band: mean slope at 0 ~ %.2e, '
+          'std at 0 = %.3f (nonzero)' % (slope0, std_s[0]))
+
+    fig2, ax2 = plt.subplots(figsize=(4.5, 3.0))
+    ax2.fill_between(x, -2 * std_s, 2 * std_s, alpha=0.3,
+                     label='slope pinned at 0')
+    _, std_v = tgp.predict(X, order=2, return_std=True, kind='trunc')
+    ax2.fill_between(x, -2 * np.asarray(std_v), 2 * np.asarray(std_v),
+                     alpha=0.3, label='value pinned at 0, 1')
+    ax2.legend(fontsize=8)
+    ax2.set_title('Derivative vs value constraints on the truncation error',
+                  fontsize=9)
+    fig2.tight_layout()
+    out2 = os.path.join(args.out, 'derivative_constrained_bands.png')
+    fig2.savefig(out2, dpi=100)
+    print(f'saved {out2}')
+
 
 if __name__ == '__main__':
     main()
