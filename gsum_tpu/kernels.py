@@ -442,17 +442,31 @@ class Matern(RBF):
         sq = _sqdist(Xs, Ys)
         if self.nu == np.inf:
             return jnp.exp(-0.5 * sq)
-        # Double-where so d(sqrt)/d(sq) stays finite at sq == 0 under autodiff
+        # Double-where so d(sqrt)/d(sq) stays finite at sq == 0 under
+        # autodiff.  The sq == 0 branch is the kernel's TAYLOR POLYNOMIAL
+        # in sq (not the constant 1): nested autodiff of a `where`
+        # differentiates the selected branch, so derivative observations
+        # at coincident points (gsum_tpu.derivs — e.g. Var[f'(x)] on the
+        # diagonal of a constraint covariance) read the branch's
+        # derivatives.  A constant branch silently returns 0 where the
+        # true limit is finite (e.g. 3/ls^2 for nu=1.5); the polynomial
+        # matches every derivative of the kernel that exists at 0.
         zero = sq == 0
         d = jnp.where(zero, 0.0, jnp.sqrt(jnp.where(zero, 1.0, sq)))
         if self.nu == 0.5:
-            return jnp.exp(-d)
+            # C^0 at 0 — derivative observations are undefined for nu=0.5
+            return jnp.where(zero, 1.0, jnp.exp(-d))
         elif self.nu == 1.5:
+            # k(u) = (1+u)e^{-u}, u = sqrt(3 sq): 1 - (3/2)sq + O(sq^{3/2})
             K = d * math.sqrt(3)
-            return (1. + K) * jnp.exp(-K)
+            return jnp.where(zero, 1.0 - 1.5 * sq, (1. + K) * jnp.exp(-K))
         elif self.nu == 2.5:
+            # k(u) = (1+u+u^2/3)e^{-u}, u = sqrt(5 sq):
+            # 1 - (5/6)sq + (25/24)sq^2 + O(sq^{5/2})
             K = d * math.sqrt(5)
-            return (1. + K + K ** 2 / 3.0) * jnp.exp(-K)
+            return jnp.where(zero,
+                             1.0 - (5.0 / 6.0) * sq + (25.0 / 24.0) * sq * sq,
+                             (1. + K + K ** 2 / 3.0) * jnp.exp(-K))
         raise NotImplementedError(
             'Matern nu=%s not supported (use 0.5, 1.5, 2.5, or inf)' % self.nu)
 
@@ -513,7 +527,14 @@ class ExpSineSquared(Kernel):
         zero = sq == 0
         d = jnp.where(zero, 0.0, jnp.sqrt(jnp.where(zero, 1.0, sq)))
         arg = jnp.pi * d / vals['periodicity']
-        return jnp.exp(-2 * (jnp.sin(arg) / vals['length_scale']) ** 2)
+        # sin^2(w*sqrt(sq)) is analytic in sq; the sq == 0 branch carries
+        # its Taylor polynomial (w^2 sq - w^4 sq^2 / 3) so derivative
+        # observations at coincident points (gsum_tpu.derivs) autodiff to
+        # the correct finite limits instead of 0 (see Matern.value_fn).
+        w = jnp.pi / vals['periodicity']
+        sin2 = jnp.where(zero, (w * w) * sq - (w ** 4) * sq * sq / 3.0,
+                         jnp.sin(arg) ** 2)
+        return jnp.exp(-2 * sin2 / vals['length_scale'] ** 2)
 
     def diag_fn(self, theta, X):
         return jnp.ones((X.shape[0],), dtype=X.dtype)

@@ -140,6 +140,53 @@ def test_composite_kernel_first_deriv_finite_difference():
         np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-9)
 
 
+def test_matern_and_periodic_coincident_derivative_limits():
+    """Var[f'(x)] etc. at COINCIDENT points: the kernels' sqrt-guard
+    branches carry Taylor polynomials so nested autodiff reads the true
+    finite limits (a constant guard silently returns 0 — regression for
+    that bug).  Closed forms: Matern(1.5) 3/ls^2, Matern(2.5) 5/(3 ls^2),
+    RBF 1/ls^2; periodic and second-order checked by continuity against
+    the near-coincident value."""
+    ls = 0.7
+    X = np.array([[0.3]])
+    Xe = np.array([[0.3 + 1e-6]])
+    d1 = np.array([[1]])
+
+    for name, kern, want in [
+        ('matern15', gm.Matern(ls, (1e-2, 1e2), nu=1.5), 3 / ls ** 2),
+        ('matern25', gm.Matern(ls, (1e-2, 1e2), nu=2.5), 5 / (3 * ls ** 2)),
+        ('rbf', gm.RBF(ls, (1e-2, 1e2)), 1 / ls ** 2),
+        ('expsine', gm.ExpSineSquared(1.1, 0.9), None),
+    ]:
+        c0 = float(np.asarray(kernel_deriv_cov(kern, X, d1))[0, 0])
+        c1 = float(np.asarray(kernel_deriv_cov(kern, X, d1, Xe, d1))[0, 0])
+        assert abs(c0 - c1) < 1e-4 * abs(c1), (name, c0, c1)
+        assert c0 > 0, name
+        if want is not None:
+            np.testing.assert_allclose(c0, want, rtol=1e-12, err_msg=name)
+
+    # Matern 2.5 supports second-order observations: continuity check
+    k25 = gm.Matern(ls, (1e-2, 1e2), nu=2.5)
+    d2 = np.array([[2]])
+    v0 = float(np.asarray(kernel_deriv_cov(k25, X, d2))[0, 0])
+    v1 = float(np.asarray(kernel_deriv_cov(k25, X, d2, Xe, d2))[0, 0])
+    assert abs(v0 - v1) < 1e-3 * abs(v1), (v0, v1)
+
+
+def test_matern_periodic_values_match_sklearn_after_guard_change():
+    """The Taylor guard branches must not change kernel VALUES anywhere."""
+    sk = pytest.importorskip('sklearn.gaussian_process.kernels')
+    Xg = np.random.RandomState(0).rand(8, 2)
+    Xg = np.vstack([Xg, Xg[:2]])  # duplicated rows exercise the sq==0 branch
+    for ko, kr in [(gm.Matern(0.5, nu=1.5), sk.Matern(0.5, nu=1.5)),
+                   (gm.Matern(0.5, nu=2.5), sk.Matern(0.5, nu=2.5)),
+                   (gm.Matern(0.5, nu=0.5), sk.Matern(0.5, nu=0.5)),
+                   (gm.ExpSineSquared(1.1, 0.9),
+                    sk.ExpSineSquared(1.1, 0.9))]:
+        np.testing.assert_allclose(np.asarray(ko(Xg)), kr(Xg), rtol=1e-12,
+                                   atol=1e-14)
+
+
 def test_extended_deriv_matrix_is_psd():
     """[values; slopes] joint covariance must be PSD (it is the covariance
     of the vector (f(X), f'(X)) under the GP)."""
