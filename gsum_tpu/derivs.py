@@ -44,7 +44,17 @@ import numpy as np
 from . import _config  # noqa: F401
 
 __all__ = ['normalize_orders', 'deriv_cov', 'deriv_mean', 'deriv_basis',
-           'kernel_deriv_cov']
+           'kernel_deriv_cov', 'max_kernel_deriv_order']
+
+
+def _as_float(X):
+    """Promotes integer observation points to the default float dtype:
+    nested ``jax.grad``/``jacfwd`` require real-valued inputs, and the
+    documented constraint idiom ``dX=[[0]]`` arrives as int64."""
+    X = jnp.atleast_2d(jnp.asarray(X))
+    if not jnp.issubdtype(X.dtype, jnp.floating):
+        X = X.astype(jnp.result_type(float))
+    return X
 
 
 def normalize_orders(d, n_points, n_features):
@@ -131,11 +141,13 @@ def deriv_cov(cov_fn, X1, d1, X2=None, d2=None):
     :math:`\partial^{d1_i}_{x} \partial^{d2_j}_{x'}\, k(x, x')`
     evaluated at ``(X1[i], X2[j])``.
     """
-    X1 = jnp.atleast_2d(jnp.asarray(X1))
+    X1 = _as_float(X1)
     if X2 is None:
-        X2, d2 = X1, d1
+        X2 = X1
+        if d2 is None:
+            d2 = d1
     else:
-        X2 = jnp.atleast_2d(jnp.asarray(X2))
+        X2 = _as_float(X2)
     n1, nf = X1.shape
     n2 = X2.shape[0]
     d1 = normalize_orders(d1, n1, nf)
@@ -158,7 +170,7 @@ def deriv_mean(mean_fn, X, d):
     ``mean_fn(x) -> scalar`` on a single ``(n_features,)`` point; returns
     the (N,) vector of per-point derivatives of the requested orders.
     """
-    X = jnp.atleast_2d(jnp.asarray(X))
+    X = _as_float(X)
     n, nf = X.shape
     d = normalize_orders(d, n, nf)
     out = jnp.zeros((n,), dtype=jnp.result_type(X.dtype, float))
@@ -178,7 +190,7 @@ def deriv_basis(basis_fn, X, d):
     differentiated consistently with the covariance
     (reference: models.py:1527-1570 conditions value bases only).
     """
-    X = jnp.atleast_2d(jnp.asarray(X))
+    X = _as_float(X)
     n, nf = X.shape
     d = normalize_orders(d, n, nf)
     p = basis_fn(X[0]).shape[0]
@@ -190,6 +202,54 @@ def deriv_basis(basis_fn, X, d):
     return out
 
 
+def max_kernel_deriv_order(kernel):
+    R"""Largest per-observation derivative order the kernel supports.
+
+    Observations of :math:`f^{(a)}` need the mixed derivative
+    :math:`\partial^a_x \partial^a_{x'} k` to exist at coincident points
+    (the diagonal of every constraint covariance).  Per kernel:
+
+    - RBF / RationalQuadratic / DotProduct / Constant: analytic — no limit
+      (``inf``);
+    - WhiteKernel: no limit *in cross-covariance use* — the two-argument
+      form this module evaluates is identically zero, so a ``+ WhiteKernel``
+      nugget term simply does not propagate to derivative observations;
+    - Matern: ``nu=0.5`` → 0 (the process is not differentiable),
+      ``nu=1.5`` → 1, ``nu=2.5`` → 2, ``nu=inf`` → no limit;
+    - ExpSineSquared: 3 (analytic, but the coincident-point Taylor guard
+      in ``value_fn`` carries terms to sq³ — exact through total order 6);
+    - Sum/Product/Exponentiation: the minimum over operands.
+
+    Beyond these orders the guard branches silently return a WRONG (often
+    zero) coincident limit, so callers must validate — see
+    :func:`kernel_deriv_cov` and ``TruncationProcess.fit(dderivs=)``.
+    """
+    from . import kernels as _k
+
+    if isinstance(kernel, _k.Matern):
+        return {0.5: 0, 1.5: 1, 2.5: 2, np.inf: np.inf}[kernel.nu]
+    if isinstance(kernel, _k.ExpSineSquared):
+        return 3
+    if isinstance(kernel, _k.Exponentiation):
+        return max_kernel_deriv_order(kernel.kernel)
+    if isinstance(kernel, (_k.Sum, _k.Product)):
+        return min(max_kernel_deriv_order(kernel.k1),
+                   max_kernel_deriv_order(kernel.k2))
+    return np.inf
+
+
+def _check_kernel_orders(kernel, *order_arrays):
+    limit = max_kernel_deriv_order(kernel)
+    worst = max((int(np.max(d)) if np.asarray(d).size else 0)
+                for d in order_arrays)
+    if worst > limit:
+        raise ValueError(
+            'derivative order %d requested but kernel %r only supports '
+            'order %s observations (beyond it, coincident-point limits '
+            'do not exist or are not carried by the Taylor guards — see '
+            'derivs.max_kernel_deriv_order)' % (worst, kernel, limit))
+
+
 def kernel_deriv_cov(kernel, X1, d1, X2=None, d2=None, theta=None):
     R"""Derivative cross-covariances of a :mod:`gsum_tpu.kernels` kernel.
 
@@ -197,14 +257,22 @@ def kernel_deriv_cov(kernel, X1, d1, X2=None, d2=None, theta=None):
     pairs and dispatches to :func:`deriv_cov`.  ``theta`` defaults to the
     kernel's current log-parameters.
 
-    Note: the kernel must be differentiable at the evaluation points —
-    ``WhiteKernel`` terms (delta functions) and ``Matern(nu=0.5)`` (kinked
-    at zero distance) have no meaningful derivative observations.
+    Requested orders are validated against the kernel's differentiability
+    (:func:`max_kernel_deriv_order`) — e.g. ``Matern(nu=0.5)`` (kinked at
+    zero distance) rejects any derivative observation rather than
+    silently returning a zero coincident variance.
     """
+    X1a = _as_float(X1)
+    n1, nf = X1a.shape
+    d1n = normalize_orders(d1, n1, nf)
+    d2n = d1n if (X2 is None and d2 is None) else normalize_orders(
+        d2, _as_float(X2 if X2 is not None else X1).shape[0], nf)
+    _check_kernel_orders(kernel, d1n, d2n)
+
     frozen = kernel.clone()
     th = jnp.asarray(frozen.theta if theta is None else theta)
 
     def cov_fn(x, xp):
         return frozen.value_fn(th, x[None, :], xp[None, :])[0, 0]
 
-    return deriv_cov(cov_fn, X1, d1, X2, d2)
+    return deriv_cov(cov_fn, X1a, d1n, X2, d2n)

@@ -528,11 +528,15 @@ class ExpSineSquared(Kernel):
         d = jnp.where(zero, 0.0, jnp.sqrt(jnp.where(zero, 1.0, sq)))
         arg = jnp.pi * d / vals['periodicity']
         # sin^2(w*sqrt(sq)) is analytic in sq; the sq == 0 branch carries
-        # its Taylor polynomial (w^2 sq - w^4 sq^2 / 3) so derivative
-        # observations at coincident points (gsum_tpu.derivs) autodiff to
-        # the correct finite limits instead of 0 (see Matern.value_fn).
+        # its Taylor polynomial (w^2 sq - w^4 sq^2/3 + 2 w^6 sq^3/45) so
+        # derivative observations at coincident points (gsum_tpu.derivs)
+        # autodiff to the correct finite limits instead of 0 (see
+        # Matern.value_fn).  Terms through sq^3 make mixed derivatives
+        # exact through total order 6 (observation order 3 — the limit
+        # enforced by derivs.max_kernel_deriv_order).
         w = jnp.pi / vals['periodicity']
-        sin2 = jnp.where(zero, (w * w) * sq - (w ** 4) * sq * sq / 3.0,
+        ws = (w * w) * sq
+        sin2 = jnp.where(zero, ws * (1.0 - ws / 3.0 + 2.0 * ws * ws / 45.0),
                          jnp.sin(arg) ** 2)
         return jnp.exp(-2 * sin2 / vals['length_scale'] ** 2)
 

@@ -1026,6 +1026,20 @@ class TruncationProcess:
 
         return cov_fn, mean_fn, basis_fn
 
+    def _deriv_constraint_ctx(self, X, order):
+        """Shared setup of the derivative-constrained conditioning used by
+        both TruncationProcess.predict and TruncationTP.predict (keeping
+        the two call sites in lockstep): the float-cast constraint points,
+        their orders, an all-zero order array for the prediction points,
+        and the scalarized truncation-band functions."""
+        from .derivs import _as_float
+
+        Xd = _as_float(self.dX_)
+        dd = self.dderivs_
+        zeros_n = np.zeros((X.shape[0], Xd.shape[1]), dtype=int)
+        fns = self._trunc_scalar_fns(start=order + 1, end=np.inf)
+        return (Xd, dd, zeros_n) + fns
+
     def fit(self, X, y, orders, dX=None, dy=None, dderivs=None):
         """Extracts coefficients and fits the coefficient process.
 
@@ -1055,12 +1069,29 @@ class TruncationProcess:
         if dderivs is not None:
             if dX is None:
                 raise ValueError('dderivs requires constraint points dX')
-            from .derivs import normalize_orders
+            from .derivs import max_kernel_deriv_order, normalize_orders
             dX_arr = np.atleast_2d(np.asarray(dX))
             dderivs = normalize_orders(dderivs, dX_arr.shape[0],
                                        dX_arr.shape[1])
             if not np.any(dderivs):
                 dderivs = None  # all-zero orders == plain value constraints
+            else:
+                # reject orders the kernel cannot support: beyond its
+                # differentiability the coincident-point limits (the
+                # constraint covariance's diagonal) do not exist, and the
+                # Taylor guards would silently return 0 variance
+                k_check = (self.kernel if self.kernel is not None
+                           else getattr(self.coeffs_process,
+                                        '_default_kernel', None))
+                if k_check is not None:
+                    limit = max_kernel_deriv_order(k_check)
+                    worst = int(np.max(dderivs))
+                    if worst > limit:
+                        raise ValueError(
+                            'dderivs requests order-%d observations but '
+                            'kernel %r supports at most order %s (see '
+                            'derivs.max_kernel_deriv_order)'
+                            % (worst, k_check, limit))
         self.dderivs_ = dderivs
 
         ratio = self.ratio(X, **self.ratio_kws)
@@ -1135,11 +1166,8 @@ class TruncationProcess:
                     # autodiff derivative cross-covariances of the full
                     # truncation covariance (derivs.py; beyond-reference)
                     from .derivs import deriv_cov, deriv_mean
-                    Xd = jnp.atleast_2d(jnp.asarray(X_trunc))
-                    dd = self.dderivs_
-                    zeros_n = np.zeros((X.shape[0], Xd.shape[1]), dtype=int)
-                    cov_fn, mean_fn, _ = self._trunc_scalar_fns(
-                        start=order + 1, end=np.inf)
+                    Xd, dd, zeros_n, cov_fn, mean_fn, _ = \
+                        self._deriv_constraint_ctx(X, order)
                     m_old_trunc = deriv_mean(mean_fn, Xd, dd)
                     K_oo_trunc = deriv_cov(cov_fn, Xd, dd)
                     K_on_trunc = deriv_cov(cov_fn, Xd, dd, X, zeros_n)
@@ -1148,6 +1176,12 @@ class TruncationProcess:
                     K_oo_trunc = self.cov(X=X_trunc, Xp=X_trunc, start=order + 1, end=np.inf)
                     K_on_trunc = self.cov(X=X_trunc, Xp=X, start=order + 1, end=np.inf)
                 K_no_trunc = K_on_trunc.T
+                if _parts_out is not None:
+                    # TruncationTP.predict needs this exact matrix for its
+                    # conditional-basis correction — recomputing it under
+                    # derivative constraints re-runs the nested-autodiff
+                    # sweep, the most expensive stage of the prediction
+                    _parts_out['K_no_trunc'] = K_no_trunc
 
                 Lok_trunc = robust_cholesky(K_oo_trunc)
                 if _parts_out is not None:
@@ -1283,15 +1317,17 @@ class TruncationTP(TruncationProcess):
                     # must be differentiated consistently with the
                     # derivative-aware K_oo factor from super().predict
                     from .derivs import deriv_basis, deriv_cov
-                    Xd = jnp.atleast_2d(jnp.asarray(X_trunc))
-                    dd = self.dderivs_
-                    zeros_n = np.zeros((X.shape[0], Xd.shape[1]), dtype=int)
-                    cov_fn, _, basis_fn = self._trunc_scalar_fns(
-                        start=order + 1, end=np.inf)
-                    K_no_trunc = deriv_cov(cov_fn, X, zeros_n, Xd, dd)
+                    Xd, dd, zeros_n, cov_fn, _, basis_fn = \
+                        self._deriv_constraint_ctx(X, order)
+                    K_no_trunc = parts.get('K_no_trunc')
+                    if K_no_trunc is None:  # pragma: no cover — defensive
+                        K_no_trunc = deriv_cov(cov_fn, X, zeros_n, Xd, dd)
                     basis_trunc_old = deriv_basis(basis_fn, Xd, dd)
                 else:
-                    K_no_trunc = self.cov(X=X, Xp=X_trunc, start=order + 1, end=np.inf)
+                    K_no_trunc = parts.get('K_no_trunc')
+                    if K_no_trunc is None:  # pragma: no cover — defensive
+                        K_no_trunc = self.cov(X=X, Xp=X_trunc,
+                                              start=order + 1, end=np.inf)
                     basis_trunc_old = self.basis(X=X_trunc, start=order + 1, end=np.inf)
                 Lok_trunc = parts.get('Lok_trunc')
                 if Lok_trunc is None:  # pragma: no cover — defensive

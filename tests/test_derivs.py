@@ -173,6 +173,88 @@ def test_matern_and_periodic_coincident_derivative_limits():
     assert abs(v0 - v1) < 1e-3 * abs(v1), (v0, v1)
 
 
+def test_unsupported_orders_are_rejected():
+    """Orders beyond a kernel's differentiability must raise, not silently
+    return a zero coincident variance (review finding)."""
+    from gsum_tpu.derivs import max_kernel_deriv_order
+
+    X = np.array([[0.3]])
+    with pytest.raises(ValueError):
+        kernel_deriv_cov(gm.Matern(0.5, nu=0.5), X, np.array([[1]]))
+    with pytest.raises(ValueError):
+        kernel_deriv_cov(gm.Matern(0.5, nu=1.5), X, np.array([[2]]))
+    with pytest.raises(ValueError):
+        kernel_deriv_cov(gm.Matern(0.5, nu=2.5), X, np.array([[3]]))
+    with pytest.raises(ValueError):
+        kernel_deriv_cov(gm.ExpSineSquared(1.0, 1.0), X, np.array([[4]]))
+    # composition takes the most restrictive operand
+    assert max_kernel_deriv_order(
+        gm.ConstantKernel(1.0) * gm.Matern(0.5, nu=1.5)) == 1
+    assert max_kernel_deriv_order(
+        gm.RBF(0.5) + gm.WhiteKernel(1e-6, 'fixed')) == np.inf
+
+    # the model path validates at fit time with a clear error
+    tp, X_, y_, orders = _toy_truncation()
+    tp_m = gm.TruncationGP(kernel=gm.Matern(0.3, (1e-2, 10), nu=1.5),
+                           ratio=0.45, ref=5.0, df=6, scale=1.0,
+                           optimizer=None)
+    with pytest.raises(ValueError, match='order'):
+        tp_m.fit(X_, y_, orders=orders, dX=np.array([[0.5]]),
+                 dy=np.array([0.0]), dderivs=np.array([[2]]))
+
+
+def test_integer_constraint_points_work():
+    """The documented idiom dX=[[0]] arrives as int64; the derivative path
+    must float-cast instead of crashing in jax.grad (review finding)."""
+    tp, X, y, orders = _toy_truncation()
+    tp.fit(X, y, orders=orders, dX=np.array([[0]]), dy=np.array([0.0]),
+           dderivs=np.array([[1]]))
+    m, std = tp.predict(X[:5], order=3, return_std=True, kind='trunc')
+    assert np.isfinite(np.asarray(m)).all()
+    assert np.isfinite(np.asarray(std)).all()
+    # functional API too
+    got = kernel_deriv_cov(gm.RBF(0.5), np.array([[0], [1]]),
+                           np.array([0, 1]))
+    assert np.isfinite(np.asarray(got)).all()
+
+
+def test_deriv_cov_honors_d2_with_shared_points():
+    """deriv_cov(f, X, d1, d2=other) must compute d1-vs-d2, not silently
+    reuse d1 (review finding)."""
+    kern = gm.RBF(0.6)
+    frozen = kern.clone()
+    th = jnp.asarray(frozen.theta)
+
+    def cov_fn(x, xp):
+        return frozen.value_fn(th, x[None, :], xp[None, :])[0, 0]
+
+    x = np.array([[0.1], [0.7]])
+    d0 = np.zeros((2, 1), dtype=int)
+    d1 = np.ones((2, 1), dtype=int)
+    got = np.asarray(deriv_cov(cov_fn, x, d0, d2=d1))
+    want = np.asarray(deriv_cov(cov_fn, x, d0, x, d1))
+    np.testing.assert_allclose(got, want, rtol=1e-13)
+    # and it differs from the d1-vs-d1 matrix it used to return
+    assert not np.allclose(got, np.asarray(deriv_cov(cov_fn, x, d0)))
+
+
+def test_expsine_high_order_coincident_continuity():
+    """Order-3 observations of the (analytic) periodic kernel: the sq^3
+    Taylor term makes the coincident limit continuous (review finding —
+    the sq^2 truncation had a ~3.5%% discontinuity at (3,3))."""
+    kern = gm.ExpSineSquared(1.1, 0.9)
+    X = np.array([[0.3]])
+    # offset 1e-3: close enough to probe the limit, far enough that the
+    # exact branch's 6th-order autodiff through sqrt hasn't lost all its
+    # digits to cancellation (at tau=1e-5 the EXACT branch is off by ~1e2;
+    # the Taylor-guard coincident value is the accurate one there)
+    Xe = np.array([[0.3 + 1e-3]])
+    d3 = np.array([[3]])
+    v0 = float(np.asarray(kernel_deriv_cov(kern, X, d3))[0, 0])
+    v1 = float(np.asarray(kernel_deriv_cov(kern, X, d3, Xe, d3))[0, 0])
+    assert abs(v0 - v1) < 1e-3 * abs(v1), (v0, v1)
+
+
 def test_matern_periodic_values_match_sklearn_after_guard_change():
     """The Taylor guard branches must not change kernel VALUES anywhere."""
     sk = pytest.importorskip('sklearn.gaussian_process.kernels')
