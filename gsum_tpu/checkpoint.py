@@ -99,6 +99,8 @@ def state_dict(gp):
         },
         'nugget': float(gp.nugget),
         'decomposition': gp.decomposition,
+        'dorders_': (None if getattr(gp, 'dorders_', None) is None
+                     else np.asarray(gp.dorders_).tolist()),
     }
     return arrays, meta
 
@@ -209,6 +211,8 @@ def restore_state(gp, arrays, meta):
     gp.df_ = meta['df_']
     if meta.get('log_marginal_likelihood_value_') is not None:
         gp.log_marginal_likelihood_value_ = meta['log_marginal_likelihood_value_']
+    gp.dorders_ = (None if meta.get('dorders_') is None
+                   else np.asarray(meta['dorders_'], dtype=int))
     gp._fit = True
     return gp
 

@@ -123,7 +123,7 @@ def _derivatize_single(f, multi_order):
     return f
 
 
-def deriv_cov(cov_fn, X1, d1, X2=None, d2=None):
+def deriv_cov(cov_fn, X1, d1, X2=None, d2=None, value_block_fn=None):
     R"""Cross-covariance matrix between derivative observations.
 
     Parameters
@@ -134,6 +134,11 @@ def deriv_cov(cov_fn, X1, d1, X2=None, d2=None):
     X1 : (N1, n_features) observation points
     d1 : derivative orders for X1 (see :func:`normalize_orders`)
     X2, d2 : optional second set; defaults to ``(X1, d1)``
+    value_block_fn : callable ``(Xa, Xb) -> (len(Xa), len(Xb))``, optional —
+        a fast matrix evaluator for the zero-order × zero-order block
+        (e.g. the kernel's native ``value_fn``).  When most observations
+        are plain values, this avoids the vmapped per-pair scalar
+        evaluation for the dominant block; it must agree with ``cov_fn``.
 
     Returns
     -------
@@ -155,11 +160,17 @@ def deriv_cov(cov_fn, X1, d1, X2=None, d2=None):
 
     out = jnp.zeros((n1, n2), dtype=jnp.result_type(X1.dtype, X2.dtype,
                                                     float))
+    zero_order = (0,) * nf
     for o1, i1 in _group_by_order(d1):
         f1 = _derivatize_pair(cov_fn, o1, argnum=0)
         for o2, i2 in _group_by_order(d2):
-            f12 = _derivatize_pair(f1, o2, argnum=1)
-            block = jax.vmap(lambda x: jax.vmap(lambda xp: f12(x, xp))(X2[i2]))(X1[i1])
+            if (value_block_fn is not None and o1 == zero_order
+                    and o2 == zero_order):
+                block = value_block_fn(X1[i1], X2[i2])
+            else:
+                f12 = _derivatize_pair(f1, o2, argnum=1)
+                block = jax.vmap(
+                    lambda x: jax.vmap(lambda xp: f12(x, xp))(X2[i2]))(X1[i1])
             out = out.at[jnp.ix_(jnp.asarray(i1), jnp.asarray(i2))].set(block)
     return out
 
@@ -200,6 +211,45 @@ def deriv_basis(basis_fn, X, d):
         vals = jax.vmap(f)(X[idx])
         out = out.at[jnp.asarray(idx)].set(vals)
     return out
+
+
+def wrap_value_fn_with_orders(value_fn, d_train):
+    R"""Wraps a kernel ``value_fn`` so its FIRST argument's rows carry the
+    given (concrete) per-point derivative orders.
+
+    The returned function has the kernel ``value_fn(theta, X, Y)``
+    signature the conjugate-model closures program against
+    (``gsum_tpu.models``):
+
+    - ``Y is None`` → the full derivative self-covariance of the training
+      set (``d_train`` × ``d_train``) — the correlation matrix the
+      conjugate updates and the lml consume;
+    - ``Y`` given → the (train × new) cross-covariance, new points being
+      plain value observations (order 0).
+
+    This is what makes derivative *training data* a drop-in for the
+    conjugacy machinery: the normal-scaled-inv-χ² updates only ever see
+    an (R, basis) pair, differentiation is linear, and a GP's derivative
+    observations are jointly Gaussian with exactly these cross-covariances
+    — so the posterior algebra applies verbatim.
+    """
+    d_train = np.asarray(d_train)
+
+    def wrapped(theta, X, Y=None):
+        def cov_fn(x, xp):
+            return value_fn(theta, x[None, :], xp[None, :])[0, 0]
+
+        def value_block(Xa, Xb):
+            return value_fn(theta, Xa, Xb)
+
+        if Y is None:
+            return deriv_cov(cov_fn, X, d_train,
+                             value_block_fn=value_block)
+        zeros = np.zeros((Y.shape[0], d_train.shape[1]), dtype=int)
+        return deriv_cov(cov_fn, X, d_train, Y, zeros,
+                         value_block_fn=value_block)
+
+    return wrapped
 
 
 def max_kernel_deriv_order(kernel):

@@ -52,6 +52,24 @@ def _default_basis(X):
     return jnp.ones((X.shape[0], 1), dtype=X.dtype)
 
 
+def _contains_white(kernel):
+    """True if the kernel composition contains a WhiteKernel term anywhere.
+
+    Derivative training data (``fit(dorders=)``) must reject these: the
+    two-argument ``value_fn`` form the derivative cross-covariances are
+    built from evaluates WhiteKernel to zero, so its noise term would
+    silently vanish from the training correlation matrix."""
+    from . import kernels as _k
+
+    if isinstance(kernel, _k.WhiteKernel):
+        return True
+    if isinstance(kernel, _k.KernelOperator):
+        return _contains_white(kernel.k1) or _contains_white(kernel.k2)
+    if isinstance(kernel, _k.Exponentiation):
+        return _contains_white(kernel.kernel)
+    return False
+
+
 class BaseConjugateProcess:
     R"""Base class for the conjugate stochastic-process estimators.
 
@@ -99,6 +117,7 @@ class BaseConjugateProcess:
         self._fit = False
         self.X_train_ = None
         self.y_train_ = None
+        self.dorders_ = None
         self.corr_L_ = self.corr_sqrt_ = None
         self.corr_ = None
         self.center_ = None
@@ -268,21 +287,59 @@ class BaseConjugateProcess:
             return self._default_kernel
         return self.kernel
 
+    # ------------------------------------------------------------------
+    # Derivative training data (beyond-reference; gsum_tpu.derivs)
+    # ------------------------------------------------------------------
+    def _dorders_key(self):
+        """Hashable cache-key component for the observation orders."""
+        if self.dorders_ is None:
+            return None
+        d = np.asarray(self.dorders_)
+        return (d.shape, d.tobytes())
+
+    def _wrap_corr_fn(self, value_fn):
+        """Returns the correlation-matrix builder the closures should use:
+        the kernel's ``value_fn`` itself, or — when the training rows are
+        derivative observations — its order-aware wrapper."""
+        if self.dorders_ is None:
+            return value_fn
+        from .derivs import wrap_value_fn_with_orders
+
+        return wrap_value_fn_with_orders(value_fn, np.asarray(self.dorders_))
+
+    def _train_cross_corr(self, X):
+        """(n_train, n_new) cross-correlation between the (possibly
+        derivative) training observations and value predictions at X,
+        at the fitted hyperparameters."""
+        corr_fn = self._wrap_corr_fn(self.kernel_.clone().value_fn)
+        theta = jnp.asarray(self.kernel_.theta,
+                            dtype=jnp.result_type(float))
+        return corr_fn(theta, jnp.atleast_2d(jnp.asarray(self.X_train_)), X)
+
+    def _derivatized_basis_train(self, X):
+        """Basis matrix whose rows are the ``dorders_`` derivatives of the
+        mean basis — consistent with the derivative correlation matrix."""
+        from .derivs import deriv_basis
+
+        return deriv_basis(lambda x: self.basis(x[None, :])[0], X,
+                           np.asarray(self.dorders_))
+
     def _lml_closure(self, kernel):
         """Builds (and caches) jitted value and value_and_grad of the lml.
 
         The returned functions have signature ``(theta, X, y2d, basis)``.
         Cache key is the kernel structure: priors/nugget/decomposition are
-        fixed per instance.
+        fixed per instance (plus the derivative-observation orders, which
+        the correlation builder closes over).
         """
         key = ('lml', kernel.structure_key(), self.decomposition,
-               self.chol_engine)
+               self.chol_engine, self._dorders_key())
         cached = self._jit_cache.get(key)
         if cached is not None:
             return cached
 
         frozen = kernel.clone()
-        value_fn = frozen.value_fn
+        value_fn = self._wrap_corr_fn(frozen.value_fn)
         nugget = self.nugget
         decomposition = self.decomposition
         center0, disp0 = self.center0, self.disp0
@@ -319,7 +376,20 @@ class BaseConjugateProcess:
         X = jnp.atleast_2d(jnp.asarray(X))
         y = jnp.asarray(y)
         y2 = y[:, None] if y.ndim == 1 else y
-        basis = self.basis(X)
+        if self.dorders_ is None:
+            basis = self.basis(X)
+        else:
+            # the lml closure's correlation builder treats every row of X
+            # as carrying the fitted observation orders, so X must stay
+            # row-compatible with them and the basis must be derivatized
+            # the same way
+            if X.shape[0] != np.asarray(self.dorders_).shape[0]:
+                raise ValueError(
+                    'this model was fitted with derivative observation '
+                    'orders for %d rows; log_marginal_likelihood(X=...) '
+                    'got %d rows' % (np.asarray(self.dorders_).shape[0],
+                                     X.shape[0]))
+            basis = self._derivatized_basis_train(X)
         theta = jnp.asarray(theta, dtype=jnp.result_type(float))
 
         value, value_and_grad = self._lml_closure(kernel)
@@ -381,8 +451,23 @@ class BaseConjugateProcess:
     # ------------------------------------------------------------------
     # Fit (reference models.py:671-738)
     # ------------------------------------------------------------------
-    def fit(self, X, y):
-        R"""Fits the process to data (X, y) and updates all hyperparameters."""
+    def fit(self, X, y, dorders=None):
+        R"""Fits the process to data (X, y) and updates all hyperparameters.
+
+        ``dorders`` (this library only; the reference supports value data
+        alone): per-dimension derivative orders of each observation row —
+        ``y[i]`` is then an observation of :math:`\partial^{dorders[i]} f`
+        at ``X[i]``.  Heterogeneous value + derivative training data drops
+        straight into the conjugacy machinery: differentiation is linear,
+        so the joint (values, derivatives) vector is Gaussian with the
+        autodiff cross-covariances of :mod:`gsum_tpu.derivs` as its
+        correlation matrix and the derivatized mean basis as its basis —
+        the normal-scaled-inv-χ² updates apply verbatim.  MAP kernel
+        optimization, posteriors, and predictions all work; predictions
+        are of the VALUE process.  Incompatible with ``WhiteKernel`` terms
+        (a delta function has no derivative observations — use ``nugget``
+        for uniform observation noise instead).
+        """
         if self.kernel is None:
             self.kernel_ = self._default_kernel.clone()
         else:
@@ -390,13 +475,41 @@ class BaseConjugateProcess:
 
         X = jnp.atleast_2d(jnp.asarray(X))
         y = jnp.asarray(y)
+        if dorders is not None:
+            from .derivs import (max_kernel_deriv_order, normalize_orders,
+                                 _as_float)
+            dorders = normalize_orders(dorders, X.shape[0], X.shape[1])
+            if not np.any(dorders):
+                dorders = None  # all values — the plain (reference) path
+            else:
+                limit = max_kernel_deriv_order(self.kernel_)
+                worst = int(np.max(dorders))
+                if worst > limit:
+                    raise ValueError(
+                        'dorders requests order-%d observations but kernel '
+                        '%r supports at most order %s (see '
+                        'derivs.max_kernel_deriv_order)'
+                        % (worst, self.kernel_, limit))
+                if _contains_white(self.kernel_):
+                    raise ValueError(
+                        'derivative training data is incompatible with '
+                        'WhiteKernel terms (a delta correlation has no '
+                        'derivative observations) — drop the WhiteKernel '
+                        'and use the nugget parameter for uniform '
+                        'observation noise')
+                X = _as_float(X)
+        self.dorders_ = dorders
+
         if self.copy_X_train:
             self.X_train_ = jnp.array(X)
             self.y_train_ = jnp.array(y)
         else:
             self.X_train_ = X
             self.y_train_ = y
-        self.basis_train_ = self.basis(self.X_train_)
+        if dorders is None:
+            self.basis_train_ = self.basis(self.X_train_)
+        else:
+            self.basis_train_ = self._derivatized_basis_train(self.X_train_)
 
         self._calibrate_kernel()
 
@@ -425,12 +538,13 @@ class BaseConjugateProcess:
     def _fit_state_closure(self, kernel):
         """Cached jitted computation of the full fitted state."""
         key = ('fit', kernel.structure_key(), self.decomposition,
-               self.chol_engine)
+               self.chol_engine, self._dorders_key())
         cached = self._jit_cache.get(key)
         if cached is not None:
             return cached
 
         frozen = kernel.clone()
+        corr_fn = self._wrap_corr_fn(frozen.value_fn)
         nugget = self.nugget
         decomposition = self.decomposition
         center0, disp0 = self.center0, self.disp0
@@ -438,7 +552,7 @@ class BaseConjugateProcess:
         chol_fn = _resolve_chol_fn(self.chol_engine)
 
         def raw(theta, X, y2, basis):
-            R = frozen.value_fn(theta, X, None)
+            R = corr_fn(theta, X, None)
             N = X.shape[0]
             R_reg = R + nugget * jnp.eye(N, dtype=R.dtype)
             if decomposition == 'cholesky':
@@ -513,6 +627,7 @@ class BaseConjugateProcess:
                       jnp.asarray(self.basis_train_), self.basis(X),
                       *self._fused_extra())
 
+        cond_on_train = Xc is None
         if Xc is None:
             Xc = self.X_train_
             sqrt_R = self._sqrt_R_train()
@@ -531,10 +646,17 @@ class BaseConjugateProcess:
             y = self.y_train_
         y = jnp.asarray(y)
 
-        m_old = self.mean(Xc)
+        if cond_on_train and self.dorders_ is not None:
+            # training rows are derivative observations: their mean is the
+            # derivatized basis times the posterior center, and the cross-
+            # covariance to the (value) prediction points is order-aware
+            m_old = jnp.asarray(self.basis_train_) @ jnp.atleast_1d(
+                jnp.asarray(self.center_))
+            R_on = self._train_cross_corr(X)
+        else:
+            m_old = self.mean(Xc)
+            R_on = self.kernel_(Xc, X)
         m_new = self.mean(X)
-
-        R_on = self.kernel_(Xc, X)
         R_no = R_on.T
         R_nn = self.kernel_(X)
 
@@ -567,12 +689,19 @@ class BaseConjugateProcess:
         """Cached jitted predict core for the condition-on-training path."""
         kind = type(self)._fused_kind
         key = ('predict', kind, kernel.structure_key(), self.decomposition,
-               bool(return_std), bool(return_cov), bool(pred_noise))
+               bool(return_std), bool(return_cov), bool(pred_noise),
+               self._dorders_key())
         cached = self._jit_cache.get(key)
         if cached is not None:
             return cached
 
         frozen = kernel.clone()
+        # Xc here is always the training set (the fused path conditions on
+        # it); with derivative training data its rows carry dorders_, so the
+        # train-cross and train-self covariances come from the order-aware
+        # wrapper while the new-point covariance R_nn stays the plain value
+        # covariance.
+        cross_fn = self._wrap_corr_fn(frozen.value_fn)
         decomp = self.decomposition
         nugget = self.nugget
 
@@ -580,7 +709,7 @@ class BaseConjugateProcess:
                 *extra):
             m_old = basis_old @ center
             m_new = basis_new @ center
-            R_on = frozen.value_fn(theta, Xc, X)
+            R_on = cross_fn(theta, Xc, X)
             R_no = R_on.T
             alpha = solve_sqrt(sqrt_R, y2 - m_old[:, None], decomposition=decomp)
             m_pred = jnp.squeeze(m_new[:, None] + R_no @ alpha)
@@ -826,7 +955,10 @@ class ConjugateStudentProcess(BaseConjugateProcess):
             if Xc is None:
                 basis_old = self.basis_train_
                 sqrt_R = self._sqrt_R_train()
-                R_no = self.kernel_(X, self.X_train_)
+                if self.dorders_ is not None:
+                    R_no = self._train_cross_corr(X).T
+                else:
+                    R_no = self.kernel_(X, self.X_train_)
             else:
                 Xc = jnp.atleast_2d(jnp.asarray(Xc))
                 basis_old = self.basis(Xc)

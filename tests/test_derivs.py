@@ -462,3 +462,152 @@ def test_checkpoint_roundtrip_derivative_constraints(tmp_path):
     m1, s1 = tp2.predict(Xq, order=3, return_std=True)
     np.testing.assert_allclose(np.asarray(m1), np.asarray(m0), rtol=1e-12)
     np.testing.assert_allclose(np.asarray(s1), np.asarray(s0), rtol=1e-12)
+
+
+# ----------------------------------------------------------------------
+# Derivative TRAINING data: fit(X, y, dorders=...) on the conjugate models
+# (beyond-reference: the reference supports value observations only)
+# ----------------------------------------------------------------------
+def _deriv_training_set():
+    """Values of sin(2x) at 7 points + slopes 2cos(2x) at 5 points."""
+    Xv = np.linspace(0, 1, 7)[:, None]
+    Xd = np.linspace(0.05, 0.95, 5)[:, None]
+    X = np.vstack([Xv, Xd])
+    y = np.concatenate([np.sin(2 * Xv[:, 0]), 2 * np.cos(2 * Xd[:, 0])])
+    dorders = np.concatenate([np.zeros(7, int), np.ones(5, int)])
+    return X, y, dorders
+
+
+def test_fit_dorders_matches_manual_gp_conditioning():
+    X, y, dorders = _deriv_training_set()
+    kern = gm.RBF(length_scale=0.6, length_scale_bounds='fixed')
+    gp = gm.ConjugateGaussianProcess(kernel=kern, center=0, disp=0,
+                                     df=np.inf, scale=1, nugget=1e-10,
+                                     optimizer=None)
+    gp.fit(X, y, dorders=dorders)
+
+    Xs = np.linspace(0, 1, 31)[:, None]
+    m, sd = gp.predict(Xs, return_std=True)
+    m, sd = np.asarray(m), np.asarray(sd)
+
+    # manual conditioning with independently-assembled deriv cross-covs
+    d_all = dorders[:, None]
+    K = np.asarray(kernel_deriv_cov(kern, jnp.asarray(X, float), d_all))
+    Ks = np.asarray(kernel_deriv_cov(kern, jnp.asarray(X, float), d_all,
+                                     jnp.asarray(Xs, float),
+                                     np.zeros((31, 1), int)))
+    alpha = np.linalg.solve(K + 1e-10 * np.eye(len(y)), y)
+    np.testing.assert_allclose(m, Ks.T @ alpha, atol=1e-9)
+
+    # the slope data pins the interpolant to the truth far better than the
+    # value-only fit between nodes
+    truth = np.sin(2 * Xs[:, 0])
+    assert np.max(np.abs(m - truth)) < 1e-4
+    # posterior sd collapses at (and between) the dense observations
+    assert np.max(sd) < 1e-3
+
+
+def test_fit_dorders_eager_and_fused_paths_agree():
+    X, y, dorders = _deriv_training_set()
+    kern = gm.RBF(length_scale=0.6, length_scale_bounds='fixed')
+    Xs = np.linspace(0, 1, 13)[:, None]
+    for cls, kw in [(gm.ConjugateGaussianProcess,
+                     dict(center=0, disp=0, df=np.inf, scale=1)),
+                    (gm.ConjugateStudentProcess,
+                     dict(center=0, disp=1, df=3, scale=1))]:
+        gp = cls(kernel=kern, nugget=1e-10, optimizer=None, **kw)
+        gp.fit(X, y, dorders=dorders)
+        m_fused, s_fused = gp.predict(Xs, return_std=True)
+        # passing y explicitly routes through the eager path
+        m_eager = gp.predict(Xs, y=y)
+        np.testing.assert_allclose(np.asarray(m_eager),
+                                   np.asarray(m_fused), atol=1e-9)
+        assert np.all(np.isfinite(np.asarray(s_fused)))
+
+
+def test_fit_dorders_zero_orders_reduce_to_value_path():
+    Xv = np.linspace(0, 1, 7)[:, None]
+    yv = np.sin(2 * Xv[:, 0])
+    kern = gm.RBF(length_scale=0.6, length_scale_bounds='fixed')
+    kw = dict(center=0, disp=0, df=np.inf, scale=1, nugget=1e-10,
+              optimizer=None)
+    gp0 = gm.ConjugateGaussianProcess(kernel=kern, **kw)
+    gp0.fit(Xv, yv, dorders=np.zeros(7, int))
+    assert gp0.dorders_ is None
+    gp1 = gm.ConjugateGaussianProcess(kernel=kern, **kw)
+    gp1.fit(Xv, yv)
+    Xs = np.linspace(0, 1, 11)[:, None]
+    np.testing.assert_allclose(np.asarray(gp0.predict(Xs)),
+                               np.asarray(gp1.predict(Xs)), rtol=1e-12)
+
+
+def test_fit_dorders_lml_gradient_matches_finite_difference():
+    X, y, dorders = _deriv_training_set()
+    gp = gm.ConjugateGaussianProcess(
+        kernel=gm.RBF(length_scale=0.7), center=0, disp=0, df=np.inf,
+        scale=1, nugget=1e-8, optimizer=None)
+    gp.fit(X, y, dorders=dorders)
+    theta = np.log([0.7])
+    lml, grad = gp.log_marginal_likelihood(theta, eval_gradient=True)
+    # h must stay well above the lml's own evaluation noise (~1e-8 from the
+    # nested-autodiff covariance assembly feeding a solve): at h=1e-6 the
+    # FD quotient drifts by ~3e-4 relative, while h=1e-4 agrees to ~5e-6
+    h = 1e-4
+    fd = (float(gp.log_marginal_likelihood(theta + h))
+          - float(gp.log_marginal_likelihood(theta - h))) / (2 * h)
+    np.testing.assert_allclose(np.asarray(grad)[0], fd, rtol=1e-4)
+
+
+def test_fit_dorders_map_optimization_recovers_length_scale():
+    X, y, dorders = _deriv_training_set()
+    gp = gm.ConjugateGaussianProcess(
+        kernel=gm.RBF(length_scale=1.0, length_scale_bounds=(0.05, 5.0)),
+        center=0, disp=0, df=np.inf, scale=1, nugget=1e-10)
+    gp.fit(X, y, dorders=dorders)
+    ls = float(np.exp(gp.kernel_.theta)[0])
+    assert 0.3 < ls < 3.0
+    assert np.isfinite(gp.log_marginal_likelihood_value_)
+
+
+def test_fit_dorders_validation_errors():
+    X, y, dorders = _deriv_training_set()
+    # WhiteKernel terms are rejected (their noise would silently vanish)
+    gp = gm.ConjugateGaussianProcess(
+        kernel=gm.RBF(0.6) + gm.WhiteKernel(0.1), optimizer=None)
+    with pytest.raises(ValueError, match='WhiteKernel'):
+        gp.fit(X, y, dorders=dorders)
+    # kernel differentiability limits are enforced
+    gp = gm.ConjugateGaussianProcess(kernel=gm.Matern(0.6, nu=1.5),
+                                     optimizer=None)
+    with pytest.raises(ValueError, match='order-2'):
+        gp.fit(X, y, dorders=2 * dorders)
+    # lml at foreign X with mismatched rows is rejected
+    kern = gm.RBF(length_scale=0.6, length_scale_bounds='fixed')
+    gp = gm.ConjugateGaussianProcess(kernel=kern, center=0, disp=0,
+                                     df=np.inf, scale=1, nugget=1e-10,
+                                     optimizer=None)
+    gp.fit(X, y, dorders=dorders)
+    with pytest.raises(ValueError, match='rows'):
+        gp.log_marginal_likelihood(np.log([0.6]), X=X[:3], y=y[:3])
+
+
+def test_fit_dorders_checkpoint_roundtrip(tmp_path):
+    from gsum_tpu.checkpoint import load, save
+
+    X, y, dorders = _deriv_training_set()
+    kern = gm.RBF(length_scale=0.6, length_scale_bounds='fixed')
+    kw = dict(center=0, disp=0, df=np.inf, scale=1, nugget=1e-10,
+              optimizer=None)
+    gp = gm.ConjugateGaussianProcess(kernel=kern, **kw)
+    gp.fit(X, y, dorders=dorders)
+    Xs = np.linspace(0, 1, 9)[:, None]
+    m0, s0 = gp.predict(Xs, return_std=True)
+
+    path = str(tmp_path / 'gp_dorders.npz')
+    save(path, gp)
+    gp2 = gm.ConjugateGaussianProcess(kernel=kern, **kw)
+    load(path, gp2)
+    np.testing.assert_array_equal(np.asarray(gp2.dorders_), dorders[:, None])
+    m1, s1 = gp2.predict(Xs, return_std=True)
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m0), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s0), rtol=1e-12)
