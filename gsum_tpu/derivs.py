@@ -289,15 +289,24 @@ def max_kernel_deriv_order(kernel):
 
 
 def _check_kernel_orders(kernel, *order_arrays):
+    """Each OBSERVATION's total order (summed over features) must stay
+    within the kernel's differentiability: an observation of
+    d^2 f/dx0 dx1 needs the coincident 4th kernel derivative just like
+    d^2 f/dx0^2 does, so per-dimension maxima are not the right bound."""
     limit = max_kernel_deriv_order(kernel)
-    worst = max((int(np.max(d)) if np.asarray(d).size else 0)
-                for d in order_arrays)
+    worst = 0
+    for d in order_arrays:
+        d = np.asarray(d)
+        if d.size:
+            totals = d.sum(axis=-1) if d.ndim > 1 else d
+            worst = max(worst, int(np.max(totals)))
     if worst > limit:
         raise ValueError(
-            'derivative order %d requested but kernel %r only supports '
-            'order %s observations (beyond it, coincident-point limits '
-            'do not exist or are not carried by the Taylor guards — see '
-            'derivs.max_kernel_deriv_order)' % (worst, kernel, limit))
+            'derivative observations of total order %d requested but '
+            'kernel %r only supports order %s observations (beyond it, '
+            'coincident-point limits do not exist or are not carried by '
+            'the Taylor guards — see derivs.max_kernel_deriv_order)'
+            % (worst, kernel, limit))
 
 
 def kernel_deriv_cov(kernel, X1, d1, X2=None, d2=None, theta=None):

@@ -52,6 +52,31 @@ def _default_basis(X):
     return jnp.ones((X.shape[0], 1), dtype=X.dtype)
 
 
+def _normalize_predict_dorders_for(kernel, is_fit, X, dorders):
+    """Shared validation/normalization of PREDICTION-point derivative
+    orders (conjugate and truncation predict entry points).  Returns None
+    when absent or all zero (the plain value path)."""
+    if dorders is None:
+        return None
+    from .derivs import _check_kernel_orders, normalize_orders
+
+    d = normalize_orders(dorders, X.shape[0], X.shape[1])
+    if not np.any(d):
+        return None
+    if not is_fit:
+        raise ValueError(
+            'derivative predictions (predict(dorders=)) require a fitted '
+            'model')
+    _check_kernel_orders(kernel, d)
+    if _contains_white(kernel):
+        raise ValueError(
+            'derivative predictions are incompatible with WhiteKernel '
+            'terms (a delta correlation has no derivatives) — drop the '
+            'WhiteKernel and use the nugget parameter for uniform '
+            'observation noise')
+    return d
+
+
 def _contains_white(kernel):
     """True if the kernel composition contains a WhiteKernel term anywhere.
 
@@ -307,22 +332,52 @@ class BaseConjugateProcess:
 
         return wrap_value_fn_with_orders(value_fn, np.asarray(self.dorders_))
 
-    def _train_cross_corr(self, X):
-        """(n_train, n_new) cross-correlation between the (possibly
-        derivative) training observations and value predictions at X,
-        at the fitted hyperparameters."""
-        corr_fn = self._wrap_corr_fn(self.kernel_.clone().value_fn)
-        theta = jnp.asarray(self.kernel_.theta,
-                            dtype=jnp.result_type(float))
-        return corr_fn(theta, jnp.atleast_2d(jnp.asarray(self.X_train_)), X)
+    def _deriv_cross_corr(self, Xa, da, Xb=None, db=None):
+        """Correlation blocks between observation rows carrying derivative
+        orders, at the fitted hyperparameters.  ``da``/``db`` of None mean
+        plain value rows; ``Xb`` of None means the (Xa, da) self-block."""
+        from .derivs import _as_float, deriv_cov
+
+        frozen = self.kernel_.clone()
+        theta = jnp.asarray(frozen.theta, dtype=jnp.result_type(float))
+
+        def cov_fn(x, xp):
+            return frozen.value_fn(theta, x[None, :], xp[None, :])[0, 0]
+
+        def value_block(A, B):
+            return frozen.value_fn(theta, A, B)
+
+        Xa = _as_float(jnp.atleast_2d(jnp.asarray(Xa)))
+        nf = Xa.shape[1]
+        da = (np.zeros((Xa.shape[0], nf), int) if da is None
+              else np.asarray(da))
+        if Xb is None:
+            return deriv_cov(cov_fn, Xa, da, value_block_fn=value_block)
+        Xb = _as_float(jnp.atleast_2d(jnp.asarray(Xb)))
+        db = (np.zeros((Xb.shape[0], nf), int) if db is None
+              else np.asarray(db))
+        return deriv_cov(cov_fn, Xa, da, Xb, db, value_block_fn=value_block)
+
+    def _derivatized_basis(self, X, d):
+        """Basis matrix whose rows are the given per-point derivative
+        orders of the mean basis — consistent with the derivative
+        correlation blocks."""
+        from .derivs import _as_float, deriv_basis
+
+        return deriv_basis(lambda x: self.basis(x[None, :])[0],
+                           _as_float(jnp.atleast_2d(jnp.asarray(X))),
+                           np.asarray(d))
 
     def _derivatized_basis_train(self, X):
         """Basis matrix whose rows are the ``dorders_`` derivatives of the
         mean basis — consistent with the derivative correlation matrix."""
-        from .derivs import deriv_basis
+        return self._derivatized_basis(X, np.asarray(self.dorders_))
 
-        return deriv_basis(lambda x: self.basis(x[None, :])[0], X,
-                           np.asarray(self.dorders_))
+    def _normalize_predict_dorders(self, X, dorders):
+        """Validates/normalizes prediction-point derivative orders; returns
+        None when they are absent or all zero (the plain value path)."""
+        return _normalize_predict_dorders_for(self.kernel_, self._fit, X,
+                                              dorders)
 
     def _lml_closure(self, kernel):
         """Builds (and caches) jitted value and value_and_grad of the lml.
@@ -371,6 +426,7 @@ class BaseConjugateProcess:
             theta = self._kernel_for_lml().theta
 
         kernel = self._kernel_for_lml()
+        X_is_train = X is None
         X = self.X_train_ if X is None else X
         y = self.y_train_ if y is None else y
         X = jnp.atleast_2d(jnp.asarray(X))
@@ -378,6 +434,8 @@ class BaseConjugateProcess:
         y2 = y[:, None] if y.ndim == 1 else y
         if self.dorders_ is None:
             basis = self.basis(X)
+        elif X_is_train:
+            basis = self.basis_train_  # already derivatized by fit
         else:
             # the lml closure's correlation builder treats every row of X
             # as carrying the fitted observation orders, so X must stay
@@ -476,20 +534,13 @@ class BaseConjugateProcess:
         X = jnp.atleast_2d(jnp.asarray(X))
         y = jnp.asarray(y)
         if dorders is not None:
-            from .derivs import (max_kernel_deriv_order, normalize_orders,
+            from .derivs import (_check_kernel_orders, normalize_orders,
                                  _as_float)
             dorders = normalize_orders(dorders, X.shape[0], X.shape[1])
             if not np.any(dorders):
                 dorders = None  # all values — the plain (reference) path
             else:
-                limit = max_kernel_deriv_order(self.kernel_)
-                worst = int(np.max(dorders))
-                if worst > limit:
-                    raise ValueError(
-                        'dorders requests order-%d observations but kernel '
-                        '%r supports at most order %s (see '
-                        'derivs.max_kernel_deriv_order)'
-                        % (worst, self.kernel_, limit))
+                _check_kernel_orders(self.kernel_, dorders)
                 if _contains_white(self.kernel_):
                     raise ValueError(
                         'derivative training data is incompatible with '
@@ -591,23 +642,30 @@ class BaseConjugateProcess:
     # Predict (reference models.py:751-845)
     # ------------------------------------------------------------------
     def predict(self, X, return_std=False, return_cov=False, Xc=None, y=None,
-                pred_noise=False, _parts_out=None):
+                pred_noise=False, dorders=None, _parts_out=None):
         R"""GP-regression prediction at points X.
 
         ``Xc``/``y`` override the conditioning set without affecting the
         hyperparameter updates; before ``fit`` the prior is returned.
-        ``_parts_out`` (private): receives the Xc-conditioning square
+        ``dorders`` (this library only): per-dimension derivative orders of
+        each PREDICTION row — the posterior of :math:`\partial^{d} f` at
+        ``X`` instead of the value process (requires a fitted model; the
+        covariance blocks and mean basis are derivatized consistently by
+        :mod:`gsum_tpu.derivs`, and derivative training data composes with
+        it).  ``_parts_out`` (private): receives the Xc-conditioning square
         root so ConjugateStudentProcess.predict can reuse it instead of
         re-factorizing the same matrix.
         """
         if return_std and return_cov:
             raise RuntimeError('Only one of return_std or return_cov may be True')
 
+        X = jnp.atleast_2d(jnp.asarray(X))
+        d_new = self._normalize_predict_dorders(X, dorders)
+
         if not self._fit:
             return self.underlying_properties(X=X, return_std=return_std,
                                               return_cov=return_cov)
 
-        X = jnp.atleast_2d(jnp.asarray(X))
         decomp = self.decomposition
 
         # Common path (condition on the training set): one fused jitted call.
@@ -615,7 +673,8 @@ class BaseConjugateProcess:
         # in _FUSED_PREDICT_IMPLS (base GP and the Student-t process, whose
         # mean-uncertainty term is computed inside the same jitted call);
         # third-party overrides fall through to the eager path below.
-        if Xc is None and y is None and type(self).predict in _FUSED_PREDICT_IMPLS:
+        if Xc is None and y is None and d_new is None \
+                and type(self).predict in _FUSED_PREDICT_IMPLS:
             y2 = self.y_train_[:, None] if self.y_train_.ndim == 1 else self.y_train_
             fn = self._predict_closure(self.kernel_, return_std, return_cov,
                                        pred_noise)
@@ -646,19 +705,31 @@ class BaseConjugateProcess:
             y = self.y_train_
         y = jnp.asarray(y)
 
-        if cond_on_train and self.dorders_ is not None:
-            # training rows are derivative observations: their mean is the
-            # derivatized basis times the posterior center, and the cross-
-            # covariance to the (value) prediction points is order-aware
-            m_old = jnp.asarray(self.basis_train_) @ jnp.atleast_1d(
-                jnp.asarray(self.center_))
-            R_on = self._train_cross_corr(X)
+        d_train = self.dorders_ if cond_on_train else None
+        if d_train is not None or d_new is not None:
+            # derivative rows on either side: order-aware correlation
+            # blocks and a consistently-derivatized mean basis
+            if d_train is not None:
+                m_old = jnp.asarray(self.basis_train_) @ jnp.atleast_1d(
+                    jnp.asarray(self.center_))
+            else:
+                m_old = self.mean(Xc)
+            R_on = self._deriv_cross_corr(Xc, d_train, X, d_new)
+            if _parts_out is not None:
+                # the eager derivative cross-covariance assembly is the
+                # expensive stage — let CSP.predict reuse it
+                _parts_out['R_on_deriv'] = R_on
         else:
             m_old = self.mean(Xc)
             R_on = self.kernel_(Xc, X)
-        m_new = self.mean(X)
+        if d_new is not None:
+            m_new = self._derivatized_basis(X, d_new) @ jnp.atleast_1d(
+                jnp.asarray(self.center_))
+            R_nn = self._deriv_cross_corr(X, d_new)
+        else:
+            m_new = self.mean(X)
+            R_nn = self.kernel_(X)
         R_no = R_on.T
-        R_nn = self.kernel_(X)
 
         if y.ndim == 1:
             y = y[:, None]
@@ -672,7 +743,10 @@ class BaseConjugateProcess:
             var = self.compute_cov_factor(scale_sq=self.scale_ ** 2, df=self.df_)
             K_pred = jnp.squeeze(var * R_pred)
             if return_std:
-                return m_pred, jnp.sqrt(jnp.diag(K_pred))
+                # interpolation/derivative observations pin the variance to
+                # exactly zero; clamp the roundoff-negative diagonal
+                # (observed ~-1e-18 on TPU emulated-f64 GEMMs)
+                return m_pred, jnp.sqrt(jnp.clip(jnp.diag(K_pred), 0.0))
             return m_pred, K_pred
         return m_pred
 
@@ -728,10 +802,11 @@ class BaseConjugateProcess:
                 R_pred = R_pred + nugget * jnp.eye(X.shape[0], dtype=R_pred.dtype)
             K_pred = jnp.squeeze(var * R_pred)
             if return_std:
-                std = jnp.sqrt(jnp.diag(K_pred))
+                # clamp roundoff-negative pinned variances before the sqrt
+                std = jnp.sqrt(jnp.clip(jnp.diag(K_pred), 0.0))
                 if kind == 'tp':
                     # reference adds standard deviations, not variances
-                    std = std + jnp.sqrt(jnp.diag(mean_cov))
+                    std = std + jnp.sqrt(jnp.clip(jnp.diag(mean_cov), 0.0))
                 return m_pred, std
             if kind == 'tp':
                 K_pred = K_pred + jnp.squeeze(mean_cov)
@@ -923,10 +998,12 @@ class ConjugateStudentProcess(BaseConjugateProcess):
         return (jnp.asarray(self.disp_),)
 
     def predict(self, X, return_std=False, return_cov=False, Xc=None, y=None,
-                pred_noise=False):
+                pred_noise=False, dorders=None):
         R"""GP prediction plus the mean-uncertainty term var·(B_c V B_cᵀ)
         with the conditional basis B_c (reference models.py:1127-1182)."""
-        if self._fit and Xc is None and y is None \
+        d_new = self._normalize_predict_dorders(
+            jnp.atleast_2d(jnp.asarray(X)), dorders)
+        if self._fit and Xc is None and y is None and d_new is None \
                 and type(self).predict in _FUSED_PREDICT_IMPLS:
             # common path: one fused jitted call — the base-class closure
             # (kind='tp') computes the mean-uncertainty term on device.
@@ -940,7 +1017,7 @@ class ConjugateStudentProcess(BaseConjugateProcess):
         parts = {}
         pred = super().predict(X=X, return_std=return_std, return_cov=return_cov,
                                Xc=Xc, y=y, pred_noise=pred_noise,
-                               _parts_out=parts)
+                               dorders=dorders, _parts_out=parts)
 
         X = jnp.atleast_2d(jnp.asarray(X))
         decomp = self.decomposition
@@ -951,18 +1028,31 @@ class ConjugateStudentProcess(BaseConjugateProcess):
         else:
             disp = self.disp_
             var = self.cov_factor_
-            basis_new = self.basis(X)
+            basis_new = (self.basis(X) if d_new is None
+                         else self._derivatized_basis(X, d_new))
+            deriv_involved = d_new is not None or \
+                (Xc is None and self.dorders_ is not None)
             if Xc is None:
                 basis_old = self.basis_train_
                 sqrt_R = self._sqrt_R_train()
-                if self.dorders_ is not None:
-                    R_no = self._train_cross_corr(X).T
+                if deriv_involved:
+                    R_on = parts.get('R_on_deriv')
+                    if R_on is None:  # pragma: no cover — defensive
+                        R_on = self._deriv_cross_corr(
+                            self.X_train_, self.dorders_, X, d_new)
+                    R_no = R_on.T
                 else:
                     R_no = self.kernel_(X, self.X_train_)
             else:
                 Xc = jnp.atleast_2d(jnp.asarray(Xc))
                 basis_old = self.basis(Xc)
-                R_no = self.kernel_(X, Xc)
+                if deriv_involved:
+                    R_on = parts.get('R_on_deriv')
+                    if R_on is None:  # pragma: no cover — defensive
+                        R_on = self._deriv_cross_corr(Xc, None, X, d_new)
+                    R_no = R_on.T
+                else:
+                    R_no = self.kernel_(X, Xc)
                 # reuse the factor super().predict computed for this Xc
                 sqrt_R = parts.get('sqrt_R_xc')
                 if sqrt_R is None:  # pragma: no cover — defensive
@@ -980,7 +1070,8 @@ class ConjugateStudentProcess(BaseConjugateProcess):
         mean_cov = var * (basis @ disp @ basis.T)
         if return_std:
             mean, std = pred
-            return mean, std + jnp.sqrt(jnp.diag(mean_cov))
+            # clamp roundoff-negative pinned variances before the sqrt
+            return mean, std + jnp.sqrt(jnp.clip(jnp.diag(mean_cov), 0.0))
         if return_cov:
             mean, cov = pred
             return mean, cov + mean_cov
@@ -1201,7 +1292,7 @@ class TruncationProcess:
         if dderivs is not None:
             if dX is None:
                 raise ValueError('dderivs requires constraint points dX')
-            from .derivs import max_kernel_deriv_order, normalize_orders
+            from .derivs import _check_kernel_orders, normalize_orders
             dX_arr = np.atleast_2d(np.asarray(dX))
             dderivs = normalize_orders(dderivs, dX_arr.shape[0],
                                        dX_arr.shape[1])
@@ -1211,19 +1302,16 @@ class TruncationProcess:
                 # reject orders the kernel cannot support: beyond its
                 # differentiability the coincident-point limits (the
                 # constraint covariance's diagonal) do not exist, and the
-                # Taylor guards would silently return 0 variance
+                # Taylor guards would silently return 0 variance.  The
+                # bound applies to each observation's TOTAL order
+                # (_check_kernel_orders): a mixed d2/dx0dx1 constraint
+                # needs the same 4th coincident kernel derivative as
+                # d2/dx0^2
                 k_check = (self.kernel if self.kernel is not None
                            else getattr(self.coeffs_process,
                                         '_default_kernel', None))
                 if k_check is not None:
-                    limit = max_kernel_deriv_order(k_check)
-                    worst = int(np.max(dderivs))
-                    if worst > limit:
-                        raise ValueError(
-                            'dderivs requests order-%d observations but '
-                            'kernel %r supports at most order %s (see '
-                            'derivs.max_kernel_deriv_order)'
-                            % (worst, k_check, limit))
+                    _check_kernel_orders(k_check, dderivs)
         self.dderivs_ = dderivs
 
         ratio = self.ratio(X, **self.ratio_kws)
@@ -1237,21 +1325,39 @@ class TruncationProcess:
         self._fit = True
         return self
 
+    def _normalize_predict_dorders(self, X, dorders):
+        """Validates/normalizes prediction-point derivative orders for the
+        truncation band; returns None when absent or all zero."""
+        return _normalize_predict_dorders_for(
+            self.coeffs_process.kernel_ if self._fit else None, self._fit,
+            X, dorders)
+
     def predict(self, X, order, return_std=False, return_cov=False, Xc=None,
-                y=None, pred_noise=False, kind='both', _parts_out=None):
+                y=None, pred_noise=False, kind='both', dorders=None,
+                _parts_out=None):
         R"""Predictive distribution of y_order (+ truncation error) at X.
 
         ``kind`` selects the interpolant ('interp'), the truncation error
         ('trunc'), or their sum ('both').  reference: models.py:1389-1483.
+        ``dorders`` (this library only): per-dimension derivative orders
+        of each prediction row — the posterior of the requested mixed
+        partial of the selected band (e.g. the slope of the truncation
+        error, with uncertainty).  The covariance/mean/basis derivatives
+        are taken through the FULL summed process including x-dependent
+        ratio/ref, which must therefore be jnp-traceable.
         ``_parts_out`` (private): a dict that receives the jitter-ladder
         Cholesky factors so TruncationTP.predict can reuse them instead
         of re-factorizing the same matrices.
         """
+        X = jnp.atleast_2d(jnp.asarray(X))
+        d_new = self._normalize_predict_dorders(X, dorders)
         if not self._fit:
             return self.underlying_properties(X, order, return_cov=return_cov,
                                               return_std=return_std)
+        if d_new is not None:
+            from .derivs import _as_float, deriv_cov, deriv_mean
+            X = _as_float(X)
 
-        X = jnp.atleast_2d(jnp.asarray(X))
         if Xc is None:
             Xc = self.X_train_
         else:
@@ -1270,12 +1376,26 @@ class TruncationProcess:
         m_pred, K_pred = 0, 0
         if kind in ('both', 'interp'):
             m_old = self.mean(X=Xc, start=0, end=order)
-            m_new = self.mean(X=X, start=0, end=order)
-
             K_oo = self.cov(start=0, end=order, X=Xc, Xp=Xc)
-            K_on = self.cov(start=0, end=order, X=Xc, Xp=X)
+            if d_new is not None:
+                # derivative prediction rows: differentiate the summed
+                # process's mean/covariance (conditioning rows stay values)
+                cov_i, mean_i, _ = self._trunc_scalar_fns(start=0, end=order)
+
+                def vb_i(A, B):
+                    return self.cov(start=0, end=order, X=A, Xp=B)
+
+                m_new = deriv_mean(mean_i, X, d_new)
+                K_on = deriv_cov(cov_i, Xc, None, X, d_new,
+                                 value_block_fn=vb_i)
+                K_nn = deriv_cov(cov_i, X, d_new, value_block_fn=vb_i)
+                if _parts_out is not None:
+                    _parts_out['K_on_interp'] = K_on
+            else:
+                m_new = self.mean(X=X, start=0, end=order)
+                K_on = self.cov(start=0, end=order, X=Xc, Xp=X)
+                K_nn = self.cov(start=0, end=order, X=X, Xp=X)
             K_no = K_on.T
-            K_nn = self.cov(start=0, end=order, X=X, Xp=X)
 
             # one jitter-ladder factorization serves every K_oo solve
             Lok_oo = robust_cholesky(K_oo)
@@ -1288,21 +1408,49 @@ class TruncationProcess:
                                                                  K_on)
 
         if kind in ('both', 'trunc'):
-            m_new_trunc = self.mean(X=X, start=order + 1, end=np.inf)
-            K_nn_trunc = self.cov(X=X, Xp=X, start=order + 1, end=np.inf)
+            if d_new is not None:
+                cov_t, mean_t, _ = self._trunc_scalar_fns(start=order + 1,
+                                                          end=np.inf)
+
+                def vb_t(A, B):
+                    return self.cov(start=order + 1, end=np.inf, X=A, Xp=B)
+
+                m_new_trunc = deriv_mean(mean_t, X, d_new)
+                K_nn_trunc = deriv_cov(cov_t, X, d_new, value_block_fn=vb_t)
+            else:
+                m_new_trunc = self.mean(X=X, start=order + 1, end=np.inf)
+                K_nn_trunc = self.cov(X=X, Xp=X, start=order + 1, end=np.inf)
 
             X_trunc = self.dX_
             if X_trunc is not None:  # truncation error is constrained
-                if self.dderivs_ is not None:
-                    # derivative constraints: the conditioning matrices are
-                    # autodiff derivative cross-covariances of the full
-                    # truncation covariance (derivs.py; beyond-reference)
+                if self.dderivs_ is not None or d_new is not None:
+                    # derivative rows on either side: the conditioning
+                    # matrices are autodiff derivative cross-covariances of
+                    # the full truncation covariance (derivs.py;
+                    # beyond-reference).  dd/d_new of None mean value rows;
+                    # all-value blocks go through the matrix-kernel
+                    # evaluator, not the per-pair autodiff sweep.
                     from .derivs import deriv_cov, deriv_mean
                     Xd, dd, zeros_n, cov_fn, mean_fn, _ = \
                         self._deriv_constraint_ctx(X, order)
-                    m_old_trunc = deriv_mean(mean_fn, Xd, dd)
-                    K_oo_trunc = deriv_cov(cov_fn, Xd, dd)
-                    K_on_trunc = deriv_cov(cov_fn, Xd, dd, X, zeros_n)
+
+                    def vb_c(A, B):
+                        return self.cov(X=A, Xp=B, start=order + 1,
+                                        end=np.inf)
+
+                    if dd is None:
+                        m_old_trunc = self.mean(X=X_trunc, start=order + 1,
+                                                end=np.inf)
+                        K_oo_trunc = self.cov(X=X_trunc, Xp=X_trunc,
+                                              start=order + 1, end=np.inf)
+                    else:
+                        m_old_trunc = deriv_mean(mean_fn, Xd, dd)
+                        K_oo_trunc = deriv_cov(cov_fn, Xd, dd,
+                                               value_block_fn=vb_c)
+                    K_on_trunc = deriv_cov(
+                        cov_fn, Xd, dd, X,
+                        zeros_n if d_new is None else d_new,
+                        value_block_fn=vb_c)
                 else:
                     m_old_trunc = self.mean(X=X_trunc, start=order + 1, end=np.inf)
                     K_oo_trunc = self.cov(X=X_trunc, Xp=X_trunc, start=order + 1, end=np.inf)
@@ -1397,14 +1545,16 @@ class TruncationTP(TruncationProcess):
         self.coeffs_process = ConjugateStudentProcess(kernel=kernel, **kwargs)
 
     def predict(self, X, order, return_std=False, return_cov=False, Xc=None,
-                y=None, pred_noise=False, kind='both'):
+                y=None, pred_noise=False, kind='both', dorders=None):
         """Adds the marginalized-mean covariance with conditional bases for
         both the interpolant and truncation pieces (reference models.py:1527-1570)."""
+        d_new = self._normalize_predict_dorders(
+            jnp.atleast_2d(jnp.asarray(X)), dorders)
         parts = {}
         pred = super().predict(X=X, order=order, return_std=return_std,
                                return_cov=return_cov, Xc=Xc, y=y,
                                pred_noise=pred_noise, kind=kind,
-                               _parts_out=parts)
+                               dorders=dorders, _parts_out=parts)
 
         if not return_std and not return_cov:
             return pred
@@ -1417,6 +1567,9 @@ class TruncationTP(TruncationProcess):
             return pred
 
         X = jnp.atleast_2d(jnp.asarray(X))
+        if d_new is not None:
+            from .derivs import _as_float, deriv_basis, deriv_cov
+            X = _as_float(X)
         if Xc is None:
             Xc = self.X_train_
         else:
@@ -1429,7 +1582,19 @@ class TruncationTP(TruncationProcess):
         basis_trunc = jnp.zeros((X.shape[0], p))
 
         if kind in ('both', 'interp'):
-            K_no = self.cov(X=X, Xp=Xc, start=0, end=order)
+            if d_new is not None:
+                # derivative prediction rows: cross-covariance and new
+                # basis must be differentiated consistently
+                K_on_i = parts.get('K_on_interp')
+                if K_on_i is None:  # pragma: no cover — defensive
+                    cov_i, _, _ = self._trunc_scalar_fns(start=0, end=order)
+                    K_on_i = deriv_cov(cov_i, Xc, None, X, d_new)
+                K_no = K_on_i.T
+                _, _, basis_i = self._trunc_scalar_fns(start=0, end=order)
+                basis_lower_new = deriv_basis(basis_i, X, d_new)
+            else:
+                K_no = self.cov(X=X, Xp=Xc, start=0, end=order)
+                basis_lower_new = self.basis(X=X, start=0, end=order)
             # reuse the factor super().predict computed for this K_oo
             Lok_oo = parts.get('Lok_oo')
             if Lok_oo is None:  # pragma: no cover — defensive
@@ -1437,23 +1602,25 @@ class TruncationTP(TruncationProcess):
                                                   end=order))
 
             basis_lower_old = self.basis(X=Xc, start=0, end=order)
-            basis_lower_new = self.basis(X=X, start=0, end=order)
             basis_lower = basis_lower_new \
                 - K_no @ robust_cho_solve(Lok_oo, basis_lower_old)
 
         if kind in ('both', 'trunc'):
             X_trunc = self.dX_
+            deriv_involved = self.dderivs_ is not None or d_new is not None
             if X_trunc is not None:
-                if self.dderivs_ is not None:
-                    # derivative constraints: conditional basis + cross-cov
-                    # must be differentiated consistently with the
-                    # derivative-aware K_oo factor from super().predict
+                if deriv_involved:
+                    # derivative rows (constraints and/or predictions):
+                    # conditional basis + cross-cov must be differentiated
+                    # consistently with the derivative-aware K_oo factor
+                    # from super().predict
                     from .derivs import deriv_basis, deriv_cov
                     Xd, dd, zeros_n, cov_fn, _, basis_fn = \
                         self._deriv_constraint_ctx(X, order)
+                    d_x = zeros_n if d_new is None else d_new
                     K_no_trunc = parts.get('K_no_trunc')
                     if K_no_trunc is None:  # pragma: no cover — defensive
-                        K_no_trunc = deriv_cov(cov_fn, X, zeros_n, Xd, dd)
+                        K_no_trunc = deriv_cov(cov_fn, X, d_x, Xd, dd)
                     basis_trunc_old = deriv_basis(basis_fn, Xd, dd)
                 else:
                     K_no_trunc = parts.get('K_no_trunc')
@@ -1463,17 +1630,28 @@ class TruncationTP(TruncationProcess):
                     basis_trunc_old = self.basis(X=X_trunc, start=order + 1, end=np.inf)
                 Lok_trunc = parts.get('Lok_trunc')
                 if Lok_trunc is None:  # pragma: no cover — defensive
-                    if self.dderivs_ is not None:
+                    if deriv_involved:
                         K_oo_d = deriv_cov(cov_fn, Xd, dd)
                     else:
                         K_oo_d = self.cov(X=X_trunc, Xp=X_trunc,
                                           start=order + 1, end=np.inf)
                     Lok_trunc = robust_cholesky(K_oo_d)
 
-                basis_trunc_new = self.basis(X=X, start=order + 1, end=np.inf)
+                if d_new is not None:
+                    _, _, basis_t = self._trunc_scalar_fns(start=order + 1,
+                                                           end=np.inf)
+                    basis_trunc_new = deriv_basis(basis_t, X, d_new)
+                else:
+                    basis_trunc_new = self.basis(X=X, start=order + 1,
+                                                 end=np.inf)
                 basis_trunc = basis_trunc_new \
                     - K_no_trunc @ robust_cho_solve(Lok_trunc,
                                                     basis_trunc_old)
+            elif d_new is not None:
+                from .derivs import deriv_basis
+                _, _, basis_t = self._trunc_scalar_fns(start=order + 1,
+                                                       end=np.inf)
+                basis_trunc = deriv_basis(basis_t, X, d_new)
             else:
                 basis_trunc = self.basis(X=X, start=order + 1, end=np.inf)
 
@@ -1481,7 +1659,8 @@ class TruncationTP(TruncationProcess):
 
         if return_std:
             mean, std = pred
-            return mean, std + jnp.sqrt(jnp.diag(mean_cov))
+            # clamp roundoff-negative pinned variances before the sqrt
+            return mean, std + jnp.sqrt(jnp.clip(jnp.diag(mean_cov), 0.0))
         if return_cov:
             mean, cov = pred
             return mean, cov + mean_cov

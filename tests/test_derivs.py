@@ -579,8 +579,17 @@ def test_fit_dorders_validation_errors():
     # kernel differentiability limits are enforced
     gp = gm.ConjugateGaussianProcess(kernel=gm.Matern(0.6, nu=1.5),
                                      optimizer=None)
-    with pytest.raises(ValueError, match='order-2'):
+    with pytest.raises(ValueError, match='order 2'):
         gp.fit(X, y, dorders=2 * dorders)
+    # the limit bounds each observation's TOTAL order: a mixed d2/dx0dx1
+    # observation needs the same 4th coincident kernel derivative as
+    # d2/dx0^2, so per-dimension maxima of 1 must not slip through
+    gp = gm.ConjugateGaussianProcess(kernel=gm.Matern([0.6, 0.6], nu=1.5),
+                                     optimizer=None)
+    X2 = np.random.RandomState(0).rand(4, 2)
+    with pytest.raises(ValueError, match='total order 2'):
+        gp.fit(X2, np.zeros(4), dorders=np.array([[0, 0], [1, 1],
+                                                  [0, 0], [0, 0]]))
     # lml at foreign X with mismatched rows is rejected
     kern = gm.RBF(length_scale=0.6, length_scale_bounds='fixed')
     gp = gm.ConjugateGaussianProcess(kernel=kern, center=0, disp=0,
@@ -611,3 +620,252 @@ def test_fit_dorders_checkpoint_roundtrip(tmp_path):
     m1, s1 = gp2.predict(Xs, return_std=True)
     np.testing.assert_allclose(np.asarray(m1), np.asarray(m0), rtol=1e-12)
     np.testing.assert_allclose(np.asarray(s1), np.asarray(s0), rtol=1e-12)
+
+
+def test_fit_dorders_two_features_mixed_partials():
+    """2-feature training set mixing values, d/dx0, and d/dx1 observations
+    of a separable RBF draw surrogate f(x) = sin(2 x0) * cos(x1)."""
+    f = lambda X: np.sin(2 * X[:, 0]) * np.cos(X[:, 1])  # noqa: E731
+    fx0 = lambda X: 2 * np.cos(2 * X[:, 0]) * np.cos(X[:, 1])  # noqa: E731
+    fx1 = lambda X: -np.sin(2 * X[:, 0]) * np.sin(X[:, 1])  # noqa: E731
+
+    rng = np.random.RandomState(3)
+    Xv = rng.rand(12, 2)
+    Xd0 = rng.rand(6, 2)
+    Xd1 = rng.rand(6, 2)
+    X = np.vstack([Xv, Xd0, Xd1])
+    y = np.concatenate([f(Xv), fx0(Xd0), fx1(Xd1)])
+    dorders = np.vstack([np.zeros((12, 2), int),
+                         np.tile([1, 0], (6, 1)),
+                         np.tile([0, 1], (6, 1))])
+
+    kern = gm.RBF(length_scale=0.8, length_scale_bounds='fixed')
+    gp = gm.ConjugateGaussianProcess(kernel=kern, center=0, disp=0,
+                                     df=np.inf, scale=1, nugget=1e-10,
+                                     optimizer=None)
+    gp.fit(X, y, dorders=dorders)
+
+    Xs = rng.rand(40, 2)
+    m = np.asarray(gp.predict(Xs))
+
+    # manual conditioning oracle with independently-assembled matrices
+    K = np.asarray(kernel_deriv_cov(kern, jnp.asarray(X, float), dorders))
+    Ks = np.asarray(kernel_deriv_cov(kern, jnp.asarray(X, float), dorders,
+                                     jnp.asarray(Xs, float),
+                                     np.zeros((40, 2), int)))
+    alpha = np.linalg.solve(K + 1e-10 * np.eye(len(y)), y)
+    np.testing.assert_allclose(m, Ks.T @ alpha, atol=1e-9)
+
+    # the mixed-partial fit should track the surface reasonably well
+    assert np.max(np.abs(m - f(Xs))) < 0.15
+
+
+def test_fit_dorders_sample_y_distribution():
+    """sample_y draws from the derivative-data posterior: sample mean and
+    pointwise spread track predict()'s mean/std."""
+    X, y, dorders = _deriv_training_set()
+    kern = gm.RBF(length_scale=0.6, length_scale_bounds='fixed')
+    gp = gm.ConjugateGaussianProcess(kernel=kern, center=0, disp=0,
+                                     df=np.inf, scale=1, nugget=1e-8,
+                                     optimizer=None)
+    gp.fit(X, y, dorders=dorders)
+    Xs = np.linspace(-0.2, 1.2, 9)[:, None]  # extrapolate so std > 0
+    m, sd = (np.asarray(a) for a in gp.predict(Xs, return_std=True))
+    draws = np.asarray(gp.sample_y(Xs, n_samples=4000, random_state=11))
+    assert draws.shape == (9, 4000)
+    np.testing.assert_allclose(draws.mean(axis=1), m,
+                               atol=4 * np.max(sd) / np.sqrt(4000) + 1e-9)
+    big = sd > 1e-4
+    np.testing.assert_allclose(draws.std(axis=1)[big], sd[big], rtol=0.12)
+
+
+# ----------------------------------------------------------------------
+# Derivative PREDICTIONS: predict(X, dorders=...) (beyond-reference)
+# ----------------------------------------------------------------------
+def test_predict_dorders_matches_finite_difference_of_mean():
+    """The posterior slope process equals d/dx of the posterior value mean
+    (exchange of conditioning and differentiation), for CGP and CSP."""
+    X = np.linspace(0, 1, 15)[:, None]
+    y = np.sin(2 * X[:, 0])
+    kern = gm.RBF(length_scale=0.4, length_scale_bounds='fixed')
+    Xs = np.linspace(0.1, 0.9, 9)[:, None]
+    h = 1e-5
+    for cls, kw in [(gm.ConjugateGaussianProcess,
+                     dict(center=0, disp=0, df=np.inf, scale=1)),
+                    (gm.ConjugateStudentProcess,
+                     dict(center=0, disp=1, df=5, scale=1))]:
+        gp = cls(kernel=kern, nugget=1e-10, optimizer=None, **kw)
+        gp.fit(X, y)
+        md, sd = (np.asarray(a) for a in
+                  gp.predict(Xs, return_std=True, dorders=np.ones(9, int)))
+        fd = (np.asarray(gp.predict(Xs + h))
+              - np.asarray(gp.predict(Xs - h))) / (2 * h)
+        np.testing.assert_allclose(md, fd, atol=1e-6)
+        assert np.all(np.isfinite(sd)) and np.all(sd >= 0)
+        # tracks the true slope away from the nodes
+        assert np.max(np.abs(md - 2 * np.cos(2 * Xs[:, 0]))) < 1e-3
+
+
+def test_predict_dorders_mixed_rows_cov_psd_and_consistent():
+    """One predict call mixing value and slope rows: the value block must
+    equal the plain predict covariance, the slope block the dorders-only
+    covariance, and the joint matrix must be PSD."""
+    X = np.linspace(0, 1, 10)[:, None]
+    y = np.sin(2 * X[:, 0])
+    kern = gm.RBF(length_scale=0.4, length_scale_bounds='fixed')
+    gp = gm.ConjugateGaussianProcess(kernel=kern, center=0, disp=0,
+                                     df=np.inf, scale=1, nugget=1e-10,
+                                     optimizer=None)
+    gp.fit(X, y)
+    Xs = np.linspace(0.15, 0.85, 4)[:, None]
+    Xq = np.vstack([Xs, Xs])
+    d_mixed = np.concatenate([np.zeros(4, int), np.ones(4, int)])
+    m, K = (np.asarray(a) for a in
+            gp.predict(Xq, return_cov=True, dorders=d_mixed))
+    m_v, K_v = (np.asarray(a) for a in gp.predict(Xs, return_cov=True))
+    m_d, K_d = (np.asarray(a) for a in
+                gp.predict(Xs, return_cov=True, dorders=np.ones(4, int)))
+    # rtol reflects summation-order differences between the fused jitted
+    # value path and the eager deriv-block assembly (observed ~2e-12)
+    np.testing.assert_allclose(m[:4], m_v, rtol=1e-9, atol=1e-13)
+    np.testing.assert_allclose(m[4:], m_d, rtol=1e-9, atol=1e-13)
+    np.testing.assert_allclose(K[:4, :4], K_v, rtol=1e-10, atol=1e-14)
+    np.testing.assert_allclose(K[4:, 4:], K_d, rtol=1e-10, atol=1e-14)
+    assert np.min(np.linalg.eigvalsh(K + K.T) / 2) > -1e-10
+
+
+def test_predict_dorders_composes_with_derivative_training():
+    """Slope predictions from a (values + slopes)-trained fit: at slope-
+    observation points the posterior slope must interpolate the observed
+    slopes with collapsed uncertainty."""
+    X, y, dorders = _deriv_training_set()
+    kern = gm.RBF(length_scale=0.6, length_scale_bounds='fixed')
+    gp = gm.ConjugateGaussianProcess(kernel=kern, center=0, disp=0,
+                                     df=np.inf, scale=1, nugget=1e-12,
+                                     optimizer=None)
+    gp.fit(X, y, dorders=dorders)
+    Xd = X[7:]  # the slope-observation points
+    md, sd = (np.asarray(a) for a in
+              gp.predict(Xd, return_std=True, dorders=np.ones(5, int)))
+    np.testing.assert_allclose(md, y[7:], atol=1e-5)
+    assert np.max(sd) < 1e-4
+
+
+def test_predict_dorders_validation():
+    X = np.linspace(0, 1, 8)[:, None]
+    y = np.sin(X[:, 0])
+    gp = gm.ConjugateGaussianProcess(
+        kernel=gm.Matern(0.5, (1e-2, 1e2), nu=1.5), center=0, disp=0,
+        df=np.inf, scale=1, nugget=1e-10, optimizer=None)
+    gp.fit(X, y)
+    # slope predictions are fine at nu=1.5, curvature is not
+    m = np.asarray(gp.predict(X, dorders=np.ones(8, int)))
+    assert np.all(np.isfinite(m))
+    with pytest.raises(ValueError, match='order 2'):
+        gp.predict(X, dorders=2 * np.ones(8, int))
+    # unfitted + White rejections
+    with pytest.raises(ValueError, match='fitted'):
+        gm.ConjugateGaussianProcess(kernel=gm.RBF(0.5), optimizer=None) \
+            .predict(X, dorders=1)
+    gpw = gm.ConjugateGaussianProcess(
+        kernel=gm.RBF(0.5, (1e-2, 1e2)) + gm.WhiteKernel(0.1, 'fixed'),
+        optimizer=None)
+    gpw.fit(X, y)
+    with pytest.raises(ValueError, match='WhiteKernel'):
+        gpw.predict(X, dorders=1)
+    # all-zero prediction orders reduce to the plain path
+    gp2 = gm.ConjugateGaussianProcess(
+        kernel=gm.RBF(0.5, (1e-2, 1e2)), center=0, disp=0, df=np.inf,
+        scale=1, nugget=1e-10, optimizer=None)
+    gp2.fit(X, y)
+    np.testing.assert_allclose(
+        np.asarray(gp2.predict(X, dorders=np.zeros(8, int))),
+        np.asarray(gp2.predict(X)), rtol=1e-14)
+
+
+# ----------------------------------------------------------------------
+# Derivative predictions of TRUNCATION bands: predict(X, order, dorders=)
+# ----------------------------------------------------------------------
+def _trunc_setup(cls):
+    ratio = 0.5
+    orders = np.arange(4)
+    x = np.linspace(0, 1, 30)
+    X = x[:, None]
+    kern = gm.RBF(0.3, (1e-2, 1e2))
+    sampler = gm.ConjugateGaussianProcess(kernel=kern, optimizer=None)
+    sampler.fit(np.array([[0.0], [1.0]]), np.zeros(2))
+    cn = np.asarray(sampler.sample_y(X, n_samples=4, random_state=5))
+    yn = np.asarray(gm.partials(cn, ratio=ratio))
+    kw = (dict(disp=0, df=np.inf) if cls is gm.TruncationGP
+          else dict(disp=1, df=10))
+    tgp = cls(kernel=kern, ref=1, ratio=ratio, scale=1, optimizer=None,
+              **kw)
+    tgp.fit(X[::5], yn[::5], orders=orders)
+    return tgp, X, yn, orders
+
+
+@pytest.mark.parametrize('cls', ['gp', 'tp'])
+def test_truncation_predict_dorders_matches_fd(cls):
+    """The slope posterior of every band kind equals d/dx of the value
+    posterior: mean vs central differences of predict's mean, and the
+    derivative covariance diagonal vs the 2-point FD quadratic form of the
+    value covariance (which is exact for a linear functional)."""
+    cls = gm.TruncationGP if cls == 'gp' else gm.TruncationTP
+    tgp, X, yn, orders = _trunc_setup(cls)
+    Xs = np.linspace(0.1, 0.9, 7)[:, None]
+    h = 1e-5
+    n = len(Xs)
+    for kind in ['both', 'interp', 'trunc']:
+        md = np.asarray(tgp.predict(Xs, order=2, kind=kind,
+                                    dorders=np.ones(n, int)))
+        fd = (np.asarray(tgp.predict(Xs + h, order=2, kind=kind))
+              - np.asarray(tgp.predict(Xs - h, order=2, kind=kind))) / (2 * h)
+        np.testing.assert_allclose(md, fd, atol=1e-5, err_msg=kind)
+
+        _, Kd = tgp.predict(Xs, order=2, kind=kind, return_cov=True,
+                            dorders=np.ones(n, int))
+        _, K = tgp.predict(np.vstack([Xs - h, Xs + h]), order=2, kind=kind,
+                           return_cov=True)
+        Kd, K = np.asarray(Kd), np.asarray(K)
+        di = np.diag_indices(n)
+        var_fd = (K[n:, n:][di] + K[:n, :n][di] - 2 * K[n:, :n][di]) \
+            / (2 * h) ** 2
+        scale = np.max(np.abs(np.diag(Kd))) + 1e-12
+        np.testing.assert_allclose(np.diag(Kd) / scale, var_fd / scale,
+                                   atol=2e-3, err_msg=kind)
+
+
+def test_truncation_predict_dorders_with_slope_constraint():
+    """Composing a slope CONSTRAINT with slope PREDICTIONS: at the pinned
+    point the predicted slope of the truncation error must be the pinned
+    value with (near-)zero uncertainty."""
+    tgp0, X, yn, orders = _trunc_setup(gm.TruncationGP)
+    kern = gm.RBF(0.3, (1e-2, 1e2))
+    tgp = gm.TruncationGP(kernel=kern, ref=1, ratio=0.5, disp=0, df=np.inf,
+                          scale=1, optimizer=None)
+    tgp.fit(X[::5], yn[::5], orders=orders, dX=np.array([[0.5]]),
+            dy=np.array([0.0]), dderivs=np.array([[1]]))
+    md, sd = (np.asarray(a) for a in
+              tgp.predict(np.array([[0.5]]), order=2, return_std=True,
+                          kind='trunc', dorders=np.array([1])))
+    assert abs(float(np.squeeze(md))) < 1e-8
+    assert float(sd[0]) < 1e-7
+    # away from the pin the slope is uncertain
+    md2, sd2 = (np.asarray(a) for a in
+                tgp.predict(np.array([[0.15]]), order=2, return_std=True,
+                            kind='trunc', dorders=np.array([1])))
+    assert float(sd2[0]) > 1e-3
+
+
+def test_truncation_predict_dorders_validation_and_zero_reduction():
+    tgp, X, yn, orders = _trunc_setup(gm.TruncationGP)
+    Xs = np.linspace(0.1, 0.9, 5)[:, None]
+    # all-zero orders reduce to the plain path
+    np.testing.assert_allclose(
+        np.asarray(tgp.predict(Xs, order=2, dorders=np.zeros(5, int))),
+        np.asarray(tgp.predict(Xs, order=2)), rtol=1e-13)
+    # unfitted rejection
+    t2 = gm.TruncationGP(kernel=gm.RBF(0.3, (1e-2, 1e2)), ref=1, ratio=0.5,
+                         optimizer=None)
+    with pytest.raises(ValueError, match='fitted'):
+        t2.predict(Xs, order=2, dorders=np.ones(5, int))
