@@ -1,0 +1,233 @@
+R"""Hyperparameter-posterior sampling (beyond-reference).
+
+The reference explores hyperparameter posteriors with dense Python grid
+loops (``correlated_EFT_publication.ipynb`` cell 53: an 80x100 (Q, ls)
+grid of full lml evaluations; ``truncation_recap.ipynb`` cells 37-42:
+Lambda_b evidence sweeps).  This module adds the proper MCMC counterpart:
+Hamiltonian Monte Carlo over the kernel's log-hyperparameters with the
+jitted conjugate lml as the target, designed TPU-first —
+
+- the whole warmup + sampling run is ONE jitted ``lax.scan`` program
+  (no per-step host round trips through the TPU tunnel);
+- chains are ``vmap``-ed, so 4 or 4096 chains cost one program;
+- box bounds are removed with the same sigmoid/softplus reparameterization
+  the bounded L-BFGS uses (``optimize._to_bounded``), with the exact
+  log-Jacobian added to the density, so samples respect the kernel's
+  bounds without rejections;
+- step size is tuned by dual averaging (Nesterov/NUTS-style) during
+  warmup, inside the same scan.
+
+``sample_theta_posterior`` gives the posterior over a fitted (or
+unfitted) conjugate process's kernel hyperparameters under a
+flat-within-bounds prior (any extra log-prior can be supplied); the
+returned diagnostics include per-chain acceptance and split-R̂.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .optimize import _to_bounded, _to_unbounded
+
+__all__ = ['hmc', 'sample_theta_posterior', 'split_rhat']
+
+
+def _log_jac_bounded(z, lo, hi):
+    """log |d theta / d z| of :func:`optimize._to_bounded`, elementwise.
+
+    two-sided: theta = lo + span*sigmoid(z)  -> log span - sp(z) - sp(-z)
+    one-sided: theta = lo + softplus(z)      -> log sigmoid(z) = -sp(-z)
+    unbounded: identity                      -> 0
+    (sp = softplus; softplus' = sigmoid, sigmoid' = sig*(1-sig).)
+    """
+    lo_f, hi_f = jnp.isfinite(lo), jnp.isfinite(hi)
+    both = lo_f & hi_f
+    span = jnp.where(both, hi - lo, 1.0)
+    lj_box = jnp.log(span) - jax.nn.softplus(z) - jax.nn.softplus(-z)
+    lj_one = -jax.nn.softplus(-z)
+    return jnp.where(both, lj_box,
+                     jnp.where(lo_f | hi_f, lj_one, 0.0))
+
+
+def hmc(logdensity, z0, key, n_samples=1000, n_warmup=500, n_leapfrog=16,
+        init_step_size=0.1, target_accept=0.8):
+    """Single-chain HMC as one jitted two-scan program; ``vmap`` for chains.
+
+    ``logdensity(z) -> scalar`` must be JAX-traceable on the unconstrained
+    vector ``z``.  A fixed number of leapfrog steps per proposal keeps the
+    program free of data-dependent trip counts (the TPU rule: fixed-trip
+    ``lax.scan``, never ``while_loop`` — see CLAUDE.md).  Warmup adapts
+    the step size by dual averaging toward ``target_accept``; sampling
+    runs at the adapted (averaged) step size.
+
+    Returns ``(samples, info)``: samples ``(n_samples, d)`` and a dict
+    with ``accept_rate`` (mean over the sampling phase), ``step_size``,
+    and the final ``logdensity`` value.
+    """
+    z0 = jnp.asarray(z0, dtype=jnp.result_type(float))
+    d = z0.shape[0]
+    grad_fn = jax.value_and_grad(logdensity)
+
+    def leapfrog(z, p, eps):
+        def body(carry, _):
+            z, p = carry
+            _, g = grad_fn(z)
+            p_half = p + 0.5 * eps * g
+            z_new = z + eps * p_half
+            _, g_new = grad_fn(z_new)
+            p_new = p_half + 0.5 * eps * g_new
+            return (z_new, p_new), None
+
+        (z_T, p_T), _ = jax.lax.scan(body, (z, p), None, length=n_leapfrog)
+        return z_T, p_T
+
+    def proposal(z, lp, eps, key):
+        key, kp, ku = jax.random.split(key, 3)
+        p = jax.random.normal(kp, (d,), dtype=z.dtype)
+        z_new, p_new = leapfrog(z, p, eps)
+        lp_new = logdensity(z_new)
+        # failed factorizations (-inf lml) or NaNs reject deterministically
+        log_alpha = (lp_new - lp
+                     - 0.5 * jnp.sum(p_new ** 2) + 0.5 * jnp.sum(p ** 2))
+        log_alpha = jnp.where(jnp.isfinite(log_alpha), log_alpha, -jnp.inf)
+        accept_p = jnp.minimum(1.0, jnp.exp(log_alpha))
+        accept = jnp.log(jax.random.uniform(ku, dtype=z.dtype)) < log_alpha
+        z = jnp.where(accept, z_new, z)
+        lp = jnp.where(accept, lp_new, lp)
+        return z, lp, accept_p, key
+
+    # dual averaging (Hoffman & Gelman 2014, Algorithm 5 constants)
+    mu = jnp.log(10.0 * init_step_size)
+    gamma, t0, kappa = 0.05, 10.0, 0.75
+
+    def warmup_step(carry, i):
+        z, lp, key, log_eps, log_eps_bar, h_bar = carry
+        eps = jnp.exp(log_eps)
+        z, lp, accept_p, key = proposal(z, lp, eps, key)
+        t = i + 1.0
+        h_bar = (1 - 1 / (t + t0)) * h_bar \
+            + (target_accept - accept_p) / (t + t0)
+        log_eps = mu - jnp.sqrt(t) / gamma * h_bar
+        w = t ** (-kappa)
+        log_eps_bar = w * log_eps + (1 - w) * log_eps_bar
+        return (z, lp, key, log_eps, log_eps_bar, h_bar), None
+
+    def sample_step(carry, _):
+        z, lp, eps, key = carry
+        z, lp, accept_p, key = proposal(z, lp, eps, key)
+        return (z, lp, eps, key), (z, accept_p)
+
+    def run(z0, key):
+        lp0 = logdensity(z0)
+        carry = (z0, lp0, key, jnp.log(init_step_size),
+                 jnp.log(init_step_size), 0.0)
+        carry, _ = jax.lax.scan(warmup_step, carry,
+                                jnp.arange(n_warmup, dtype=z0.dtype))
+        z, lp, key = carry[0], carry[1], carry[2]
+        eps = jnp.exp(carry[4])  # averaged step size
+        (z, lp, eps, key), (samples, accept_ps) = jax.lax.scan(
+            sample_step, (z, lp, eps, key), None, length=n_samples)
+        return samples, {'accept_rate': jnp.mean(accept_ps),
+                         'step_size': eps, 'final_logdensity': lp}
+
+    return run(z0, key)
+
+
+def split_rhat(chains):
+    """Split-R̂ convergence diagnostic (Gelman et al., BDA3 eq. 11.4).
+
+    ``chains``: (n_chains, n_samples, d).  Each chain is split in half;
+    values near 1 indicate between/within-chain agreement.  Returns (d,).
+    """
+    c = np.asarray(chains, dtype=float)
+    n_chains, n, d = c.shape
+    half = n // 2
+    c = np.concatenate([c[:, :half], c[:, half:2 * half]], axis=0)
+    m, n = c.shape[0], c.shape[1]
+    chain_means = c.mean(axis=1)                      # (m, d)
+    chain_vars = c.var(axis=1, ddof=1)                # (m, d)
+    B = n * chain_means.var(axis=0, ddof=1)           # (d,)
+    W = chain_vars.mean(axis=0)                       # (d,)
+    var_plus = (n - 1) / n * W + B / n
+    return np.sqrt(var_plus / np.where(W > 0, W, 1.0))
+
+
+def sample_theta_posterior(gp, X=None, y=None, n_chains=4, n_samples=1000,
+                           n_warmup=500, n_leapfrog=16, init_step_size=0.1,
+                           target_accept=0.8, random_state=0,
+                           extra_log_prior=None):
+    R"""HMC posterior over a conjugate process's kernel log-hyperparameters.
+
+    The target is :math:`p(\theta\mid y) \propto \exp(\mathrm{lml}(\theta))`
+    times a flat prior within the kernel's bounds (the same improper-
+    uniform-in-:math:`\log\theta` convention as the reference's MAP
+    optimization and grid posteriors — reference models.py:884-900 and
+    the (Q, ls) grids of correlated_EFT_publication.ipynb cell 53), times
+    ``exp(extra_log_prior(theta))`` if supplied (traceable, log-θ input).
+
+    ``gp``: any conjugate process (CGP/CSP).  If fitted, its training data
+    (including derivative observations) and fitted-kernel structure are
+    used; otherwise pass ``X``/``y`` explicitly.  All chains run in ONE
+    jitted vmapped program on the default backend.
+
+    Returns ``(thetas, info)``: ``thetas`` is (n_chains, n_samples, n_dims)
+    in log space (apply ``np.exp`` for natural parameters), ``info`` has
+    per-chain ``accept_rate``, adapted ``step_size``, and ``rhat`` (d,).
+    """
+    kernel = gp._kernel_for_lml()
+    n_dims = kernel.n_dims
+    if n_dims == 0:
+        raise ValueError('kernel has no free hyperparameters to sample')
+    if X is None and gp.X_train_ is None:
+        raise ValueError('pass X/y or fit the model first')
+
+    X_arr = jnp.atleast_2d(jnp.asarray(gp.X_train_ if X is None else X))
+    y_arr = jnp.asarray(gp.y_train_ if y is None else y)
+    y2 = y_arr[:, None] if y_arr.ndim == 1 else y_arr
+    if X is None and getattr(gp, 'dorders_', None) is not None:
+        basis = jnp.asarray(gp.basis_train_)
+    else:
+        basis = gp.basis(X_arr)
+    value, _ = gp._lml_closure(kernel)
+
+    bounds = np.asarray(kernel.bounds, dtype=float)
+    lo = jnp.asarray(bounds[:, 0])
+    hi = jnp.asarray(bounds[:, 1])
+
+    def logdensity(z):
+        theta = _to_bounded(z, lo, hi)
+        lp = value(theta, X_arr, y2, basis) + jnp.sum(
+            _log_jac_bounded(z, lo, hi))
+        if extra_log_prior is not None:
+            lp = lp + extra_log_prior(theta)
+        return jnp.squeeze(lp)
+
+    # chain initializations: jittered around the kernel's current theta
+    # (MAP point if fitted), clipped strictly inside the box
+    theta0 = np.asarray(kernel.theta, dtype=float)
+    rng = np.random.RandomState(
+        random_state if isinstance(random_state, (int, np.integer)) else None)
+    inits = theta0[None, :] + 0.1 * rng.randn(n_chains, n_dims)
+    fin = np.isfinite(bounds)
+    lo_np = np.where(fin[:, 0], bounds[:, 0], -np.inf)
+    hi_np = np.where(fin[:, 1], bounds[:, 1], np.inf)
+    span = np.where(fin.all(axis=1), hi_np - lo_np, 1.0)
+    inits = np.clip(inits, lo_np + 1e-3 * span, hi_np - 1e-3 * span)
+    z0 = jax.vmap(lambda th: _to_unbounded(th, lo, hi))(jnp.asarray(inits))
+
+    keys = jax.random.split(jax.random.PRNGKey(
+        random_state if isinstance(random_state, (int, np.integer)) else 0),
+        n_chains)
+
+    run = jax.jit(jax.vmap(lambda z, k: hmc(
+        logdensity, z, k, n_samples=n_samples, n_warmup=n_warmup,
+        n_leapfrog=n_leapfrog, init_step_size=init_step_size,
+        target_accept=target_accept)))
+    zs, info = run(z0, keys)
+
+    thetas = jax.vmap(jax.vmap(lambda z: _to_bounded(z, lo, hi)))(zs)
+    info = {k: np.asarray(v) for k, v in info.items()}
+    info['rhat'] = split_rhat(np.asarray(thetas))
+    return thetas, info

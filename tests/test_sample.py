@@ -1,0 +1,122 @@
+R"""Hyperparameter-posterior HMC (gsum_tpu.sample; beyond-reference).
+
+The reference's hyperparameter posteriors are dense grid loops
+(correlated_EFT_publication.ipynb cell 53, truncation_recap.ipynb cells
+37-42); the sampler must agree with exactly that grid construction, so the
+oracle here is trapezoid quadrature of exp(lml) over the kernel bounds.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import gsum_tpu as gm
+from gsum_tpu.sample import hmc, split_rhat
+
+
+def test_hmc_standard_normal_moments():
+    """Exactness on a known target: N(0, I_2) moments, healthy acceptance
+    near the dual-averaging target, adapted step size in a sane range."""
+    ld = lambda z: -0.5 * jnp.sum(z ** 2)  # noqa: E731
+    samples, info = jax.jit(lambda z, k: hmc(
+        ld, z, k, n_samples=2000, n_warmup=300))(
+        jnp.zeros(2), jax.random.PRNGKey(0))
+    s = np.asarray(samples)
+    assert np.all(np.abs(s.mean(0)) < 0.15)
+    assert np.all(np.abs(s.std(0) - 1.0) < 0.15)
+    acc = float(info['accept_rate'])
+    assert 0.6 < acc <= 1.0
+    assert 0.1 < float(info['step_size']) < 10.0
+
+
+def test_hmc_correlated_gaussian_covariance():
+    """Covariance recovery on a correlated 2d Gaussian."""
+    C = np.array([[1.0, 0.8], [0.8, 1.0]])
+    P = jnp.asarray(np.linalg.inv(C))
+
+    def ld(z):
+        return -0.5 * z @ (P @ z)
+
+    samples, _ = jax.jit(lambda z, k: hmc(
+        ld, z, k, n_samples=4000, n_warmup=500))(
+        jnp.zeros(2), jax.random.PRNGKey(1))
+    S = np.cov(np.asarray(samples).T)
+    np.testing.assert_allclose(S, C, atol=0.15)
+
+
+def _fit_gp():
+    X = np.linspace(0, 1, 12)[:, None]
+    x = X[:, 0]
+    y = np.column_stack([np.sin(3 * x), np.cos(2 * x) - 1, np.sin(5 * x)])
+    gp = gm.ConjugateGaussianProcess(kernel=gm.RBF(0.3, (0.05, 2.0)),
+                                     center=0, disp=0, df=3, scale=1,
+                                     nugget=1e-8, optimizer=None)
+    gp.fit(X, y)
+    return gp
+
+
+def test_theta_posterior_matches_grid_quadrature():
+    """The HMC theta-posterior must agree with the reference-style dense
+    grid: trapezoid quadrature of exp(lml) over the bounds (the same
+    construction as the publication notebook's (Q, ls) posterior
+    surfaces, which parallel.batched_lml_grid reproduces)."""
+    gp = _fit_gp()
+    thetas, info = gm.sample_theta_posterior(gp, n_chains=4, n_samples=1500,
+                                             n_warmup=500, random_state=1)
+    assert thetas.shape == (4, 1500, 1)
+    th = np.asarray(thetas).reshape(-1)
+
+    gg = np.linspace(np.log(0.05), np.log(2.0), 201)
+    lml = np.array([float(gp.log_marginal_likelihood(np.array([g])))
+                    for g in gg])
+    w = np.exp(lml - lml.max())
+    w /= np.trapezoid(w, gg)
+    mean_q = np.trapezoid(w * gg, gg)
+    sd_q = np.sqrt(np.trapezoid(w * (gg - mean_q) ** 2, gg))
+
+    # MC error at ESS>=few hundred is well under these tolerances
+    assert abs(th.mean() - mean_q) < 0.05, (th.mean(), mean_q)
+    assert abs(th.std() - sd_q) < 0.05, (th.std(), sd_q)
+    assert np.all(info['rhat'] < 1.05)
+    assert np.all(info['accept_rate'] > 0.5)
+    # flat-in-bounds prior: every draw respects the box
+    assert th.min() >= np.log(0.05) - 1e-9
+    assert th.max() <= np.log(2.0) + 1e-9
+
+
+def test_theta_posterior_extra_prior_shifts_mass():
+    """A sharp external log-prior must dominate the posterior location —
+    the hook the reference's Lambda_b 1/Lambda prior would use."""
+    gp = _fit_gp()
+    target = np.log(0.5)
+
+    def sharp_prior(theta):
+        return -0.5 * ((theta[0] - target) / 0.01) ** 2
+
+    thetas, info = gm.sample_theta_posterior(
+        gp, n_chains=2, n_samples=800, n_warmup=400, random_state=2,
+        extra_log_prior=sharp_prior)
+    th = np.asarray(thetas).reshape(-1)
+    assert abs(th.mean() - target) < 0.05
+    assert th.std() < 0.05
+
+
+def test_theta_posterior_validation():
+    gp = gm.ConjugateGaussianProcess(kernel=gm.RBF(0.3, 'fixed'),
+                                     optimizer=None)
+    with pytest.raises(ValueError, match='no free'):
+        gm.sample_theta_posterior(gp)
+    gp2 = gm.ConjugateGaussianProcess(kernel=gm.RBF(0.3, (0.05, 2.0)),
+                                      optimizer=None)
+    with pytest.raises(ValueError, match='fit the model'):
+        gm.sample_theta_posterior(gp2)
+
+
+def test_split_rhat_detects_disagreement():
+    rng = np.random.RandomState(0)
+    good = rng.randn(4, 500, 1)
+    assert split_rhat(good)[0] < 1.05
+    bad = good.copy()
+    bad[0] += 5.0  # one chain stuck elsewhere
+    assert split_rhat(bad)[0] > 1.5
