@@ -31,7 +31,8 @@ import jax.numpy as jnp
 
 from .optimize import _to_bounded, _to_unbounded
 
-__all__ = ['hmc', 'sample_theta_posterior', 'split_rhat']
+__all__ = ['hmc', 'sample_theta_posterior', 'sample_truncation_posterior',
+           'split_rhat']
 
 
 def _log_jac_bounded(z, lo, hi):
@@ -154,6 +155,57 @@ def split_rhat(chains):
     return np.sqrt(var_plus / np.where(W > 0, W, 1.0))
 
 
+def _run_bounded_hmc(loglike, bounds, x0_center, n_chains, n_samples,
+                     n_warmup, n_leapfrog, init_step_size, target_accept,
+                     random_state, extra_log_prior=None):
+    """Shared driver: vmapped-chain HMC on a box-bounded vector.
+
+    ``loglike(x) -> scalar`` on the BOUNDED vector; the box is removed by
+    the sigmoid/softplus reparameterization with its exact log-Jacobian
+    added to the density, so the target in x-space is
+    ``exp(loglike(x)) * exp(extra_log_prior(x))`` times a flat prior
+    within the bounds.  Chain inits jitter around ``x0_center``.
+    Returns (samples_in_x_space (n_chains, n_samples, d), info dict).
+    """
+    bounds = np.asarray(bounds, dtype=float)
+    d = bounds.shape[0]
+    lo = jnp.asarray(bounds[:, 0])
+    hi = jnp.asarray(bounds[:, 1])
+
+    def logdensity(z):
+        x = _to_bounded(z, lo, hi)
+        lp = loglike(x) + jnp.sum(_log_jac_bounded(z, lo, hi))
+        if extra_log_prior is not None:
+            lp = lp + extra_log_prior(x)
+        return jnp.squeeze(lp)
+
+    rng = np.random.RandomState(
+        random_state if isinstance(random_state, (int, np.integer)) else None)
+    inits = np.asarray(x0_center, dtype=float)[None, :] \
+        + 0.1 * rng.randn(n_chains, d)
+    fin = np.isfinite(bounds)
+    lo_np = np.where(fin[:, 0], bounds[:, 0], -np.inf)
+    hi_np = np.where(fin[:, 1], bounds[:, 1], np.inf)
+    span = np.where(fin.all(axis=1), hi_np - lo_np, 1.0)
+    inits = np.clip(inits, lo_np + 1e-3 * span, hi_np - 1e-3 * span)
+    z0 = jax.vmap(lambda th: _to_unbounded(th, lo, hi))(jnp.asarray(inits))
+
+    keys = jax.random.split(jax.random.PRNGKey(
+        random_state if isinstance(random_state, (int, np.integer)) else 0),
+        n_chains)
+
+    run = jax.jit(jax.vmap(lambda z, k: hmc(
+        logdensity, z, k, n_samples=n_samples, n_warmup=n_warmup,
+        n_leapfrog=n_leapfrog, init_step_size=init_step_size,
+        target_accept=target_accept)))
+    zs, info = run(z0, keys)
+
+    xs = jax.vmap(jax.vmap(lambda z: _to_bounded(z, lo, hi)))(zs)
+    info = {k: np.asarray(v) for k, v in info.items()}
+    info['rhat'] = split_rhat(np.asarray(xs))
+    return xs, info
+
+
 def sample_theta_posterior(gp, X=None, y=None, n_chains=4, n_samples=1000,
                            n_warmup=500, n_leapfrog=16, init_step_size=0.1,
                            target_accept=0.8, random_state=0,
@@ -177,8 +229,7 @@ def sample_theta_posterior(gp, X=None, y=None, n_chains=4, n_samples=1000,
     per-chain ``accept_rate``, adapted ``step_size``, and ``rhat`` (d,).
     """
     kernel = gp._kernel_for_lml()
-    n_dims = kernel.n_dims
-    if n_dims == 0:
+    if kernel.n_dims == 0:
         raise ValueError('kernel has no free hyperparameters to sample')
     if X is None and gp.X_train_ is None:
         raise ValueError('pass X/y or fit the model first')
@@ -192,42 +243,68 @@ def sample_theta_posterior(gp, X=None, y=None, n_chains=4, n_samples=1000,
         basis = gp.basis(X_arr)
     value, _ = gp._lml_closure(kernel)
 
-    bounds = np.asarray(kernel.bounds, dtype=float)
-    lo = jnp.asarray(bounds[:, 0])
-    hi = jnp.asarray(bounds[:, 1])
+    def loglike(theta):
+        return value(theta, X_arr, y2, basis)
 
-    def logdensity(z):
-        theta = _to_bounded(z, lo, hi)
-        lp = value(theta, X_arr, y2, basis) + jnp.sum(
-            _log_jac_bounded(z, lo, hi))
-        if extra_log_prior is not None:
-            lp = lp + extra_log_prior(theta)
-        return jnp.squeeze(lp)
+    return _run_bounded_hmc(
+        loglike, np.asarray(kernel.bounds, dtype=float),
+        np.asarray(kernel.theta, dtype=float), n_chains, n_samples,
+        n_warmup, n_leapfrog, init_step_size, target_accept, random_state,
+        extra_log_prior=extra_log_prior)
 
-    # chain initializations: jittered around the kernel's current theta
-    # (MAP point if fitted), clipped strictly inside the box
-    theta0 = np.asarray(kernel.theta, dtype=float)
-    rng = np.random.RandomState(
-        random_state if isinstance(random_state, (int, np.integer)) else None)
-    inits = theta0[None, :] + 0.1 * rng.randn(n_chains, n_dims)
-    fin = np.isfinite(bounds)
-    lo_np = np.where(fin[:, 0], bounds[:, 0], -np.inf)
-    hi_np = np.where(fin[:, 1], bounds[:, 1], np.inf)
-    span = np.where(fin.all(axis=1), hi_np - lo_np, 1.0)
-    inits = np.clip(inits, lo_np + 1e-3 * span, hi_np - 1e-3 * span)
-    z0 = jax.vmap(lambda th: _to_unbounded(th, lo, hi))(jnp.asarray(inits))
 
-    keys = jax.random.split(jax.random.PRNGKey(
-        random_state if isinstance(random_state, (int, np.integer)) else 0),
-        n_chains)
+def sample_truncation_posterior(tgp, ratio_param, q_bounds, q0=None,
+                                n_chains=4, n_samples=1000, n_warmup=500,
+                                n_leapfrog=16, init_step_size=0.1,
+                                target_accept=0.8, random_state=0,
+                                extra_log_prior=None):
+    R"""Joint HMC posterior over (kernel θ, expansion parameter q) of a
+    fitted truncation process — the flagship cell-53 workflow as MCMC.
 
-    run = jax.jit(jax.vmap(lambda z, k: hmc(
-        logdensity, z, k, n_samples=n_samples, n_warmup=n_warmup,
-        n_leapfrog=n_leapfrog, init_step_size=init_step_size,
-        target_accept=target_accept)))
-    zs, info = run(z0, keys)
+    The reference computes this posterior as an 80×100 (Q, ls) grid of
+    8000 sequential ``TruncationProcess.log_marginal_likelihood`` calls
+    (correlated_EFT_publication.ipynb cell 53; the change-of-variables
+    determinant makes the joint density over (θ, q) proper —
+    reference models.py:1485-1507).  Here the same density — the model's
+    own ``log_marginal_likelihood(theta, **{ratio_param: q})``, traced
+    end-to-end through coefficient extraction — is sampled by the
+    vmapped-chain HMC of :func:`hmc`.
 
-    thetas = jax.vmap(jax.vmap(lambda z: _to_bounded(z, lo, hi)))(zs)
-    info = {k: np.asarray(v) for k, v in info.items()}
-    info['rhat'] = split_rhat(np.asarray(thetas))
-    return thetas, info
+    Parameters
+    ----------
+    tgp : fitted TruncationGP/TruncationTP whose ``ratio`` callable takes
+        the keyword ``ratio_param`` (jnp-traceable in it), e.g.
+        ``ratio=lambda X, breakdown: p(X) / breakdown`` with
+        ``ratio_param='breakdown'``.
+    q_bounds : (lo, hi) box for q (NATURAL scale — pass log-scale bounds
+        and a log-scale ratio callable if you want log sampling).
+    q0 : starting value (default: box midpoint).
+    extra_log_prior : callable ``x -> scalar`` on the full sampled vector
+        ``x = [theta..., q]`` — e.g. the 1/Λ_b prior
+        ``lambda x: -jnp.log(x[-1])``.
+
+    Returns (samples, info): samples (n_chains, n_samples, n_theta + 1)
+    with q in the LAST column; info as in :func:`sample_theta_posterior`.
+    """
+    if not getattr(tgp, '_fit', False):
+        raise ValueError('fit the truncation process first (any ratio '
+                         'value works; it is resampled here)')
+    kernel = tgp.coeffs_process._kernel_for_lml()
+    n_t = kernel.n_dims
+    if n_t == 0:
+        raise ValueError('kernel has no free hyperparameters to sample')
+    lo_q, hi_q = float(q_bounds[0]), float(q_bounds[1])
+    if q0 is None:
+        q0 = 0.5 * (lo_q + hi_q)
+
+    def loglike(x):
+        theta, q = x[:n_t], x[n_t]
+        return tgp.log_marginal_likelihood(theta, **{ratio_param: q})
+
+    bounds = np.vstack([np.asarray(kernel.bounds, dtype=float),
+                        [[lo_q, hi_q]]])
+    x0 = np.concatenate([np.asarray(kernel.theta, dtype=float), [q0]])
+    return _run_bounded_hmc(
+        loglike, bounds, x0, n_chains, n_samples, n_warmup, n_leapfrog,
+        init_step_size, target_accept, random_state,
+        extra_log_prior=extra_log_prior)

@@ -120,3 +120,62 @@ def test_split_rhat_detects_disagreement():
     bad = good.copy()
     bad[0] += 5.0  # one chain stuck elsewhere
     assert split_rhat(bad)[0] > 1.5
+
+
+def test_joint_truncation_posterior_matches_grid_surface():
+    """The joint (theta, Lambda) HMC posterior must match 2d trapezoid
+    quadrature of the SAME density computed by parallel.truncation_lml_grid
+    — the two implementations are fully independent (per-sample traced
+    model lml vs the batched grid engine), so this cross-validates both."""
+    X = np.linspace(0, 1, 15)[:, None]
+    x = X[:, 0]
+    orders = np.arange(4)
+    cn = np.column_stack([np.sin(3 * x), np.cos(5 * x), np.sin(7 * x + 1),
+                          np.cos(2 * x + 2)])
+    yn = np.asarray(gm.partials(cn, ratio=0.5))
+
+    def ratio_fn(X, lam=1.0):
+        return jnp.full(X.shape[0], 0.5 / lam)
+
+    tgp = gm.TruncationGP(kernel=gm.RBF(0.4, (0.1, 2.0)), ref=1,
+                          ratio=ratio_fn, disp=0, df=3, scale=1,
+                          nugget=1e-8, optimizer=None)
+    tgp.fit(X, yn, orders=orders)
+
+    thetas, info = gm.sample_truncation_posterior(
+        tgp, ratio_param='lam', q_bounds=(0.5, 2.0), n_chains=4,
+        n_samples=1000, n_warmup=500, random_state=0)
+    assert thetas.shape == (4, 1000, 2)
+    s = np.asarray(thetas).reshape(-1, 2)
+    assert np.all(info['rhat'] < 1.05)
+    assert np.all(info['accept_rate'] > 0.5)
+
+    from gsum_tpu.parallel import truncation_lml_grid
+    th_grid = np.linspace(np.log(0.1), np.log(2.0), 120)
+    lam_grid = np.linspace(0.5, 2.0, 121)
+    ratios = np.stack([np.full(15, 0.5 / lam) for lam in lam_grid])
+    surf = np.asarray(truncation_lml_grid(
+        gm.RBF(0.4, (0.1, 2.0)), X, yn, orders, ratios, th_grid[:, None],
+        ref=1, center=0, disp=0, df=3, scale=1, nugget=1e-8))
+    w = np.exp(surf - surf.max())
+    w /= np.trapezoid(np.trapezoid(w, lam_grid, axis=1), th_grid)
+    w_th = np.trapezoid(w, lam_grid, axis=1)
+    w_lam = np.trapezoid(w, th_grid, axis=0)
+    m_th = np.trapezoid(w_th * th_grid, th_grid)
+    sd_th = np.sqrt(np.trapezoid(w_th * (th_grid - m_th) ** 2, th_grid))
+    m_lam = np.trapezoid(w_lam * lam_grid, lam_grid)
+    sd_lam = np.sqrt(np.trapezoid(w_lam * (lam_grid - m_lam) ** 2, lam_grid))
+
+    assert abs(s[:, 0].mean() - m_th) < 0.1
+    assert abs(s[:, 1].mean() - m_lam) < 0.1
+    assert abs(s[:, 0].std() - sd_th) < 0.1
+    assert abs(s[:, 1].std() - sd_lam) < 0.1
+    # box respected on the q coordinate
+    assert s[:, 1].min() >= 0.5 - 1e-9 and s[:, 1].max() <= 2.0 + 1e-9
+
+
+def test_sample_truncation_posterior_validation():
+    tgp = gm.TruncationGP(kernel=gm.RBF(0.4, (0.1, 2.0)), ref=1, ratio=0.5,
+                          optimizer=None)
+    with pytest.raises(ValueError, match='fit'):
+        gm.sample_truncation_posterior(tgp, 'lam', (0.5, 2.0))
