@@ -57,18 +57,65 @@ def _diag_engine(K, block, diag):
     return 'recursive'
 
 
-def _factor_diag(Akk, leaf, engine):
+def _factor_diag(Akk, leaf, engine, precision=_HI):
     """(L, Minv) of a (B, block, block) SPD diagonal block.
 
     'pallas' unrolls the kernel's serial rank-1 loops (fastest on chip);
-    'pallas_fori' keeps them as fori_loops (smaller compile, for A/B).
+    'pallas_fori' keeps them as fori_loops (smaller compile, for A/B);
+    'hier' splits the block recursively down to 128-wide base blocks
+    (see :func:`_factor_diag_hier`).
     """
+    if engine == 'hier':
+        return _factor_diag_hier(Akk, leaf, precision)
     if engine in ('pallas', 'pallas_fori'):
         from .pallas_chol import chol_inv_block
 
         return chol_inv_block(Akk, unroll=(engine != 'pallas_fori'))
     L = _cholesky_raw(Akk, leaf)
     return L, _tri_inv_raw(L, leaf)
+
+
+_HIER_SUB = 128  # the Pallas diagonal kernel's fastest width on this chip
+
+
+def _factor_diag_hier(Akk, leaf, precision, sub=_HIER_SUB):
+    """(L, Minv) of a (..., b, b) SPD diagonal block by recursive 2x2
+    splitting down to ``sub``-wide base factorizations.
+
+    The Pallas diagonal kernel's serial rank-1 VPU work grows with block
+    width, so wide column blocks pay a diagonal tax (docs/perf.md: 10.5 ms
+    at block=256 vs ~half that at 128 for the headline shape) while narrow
+    ones shrink the history GEMM's output aspect below MXU efficiency.
+    Splitting decouples the two: the outer column block stays wide for the
+    history GEMM and each diagonal recurses — three GEMMs per split (panel
+    TRSM rewrite, Schur update, inverse composition) — until the base
+    kernel runs at its fastest width.  The composed triangular inverse is
+    the standard 2x2 block formula  [[M1, 0], [-M2 L21 M1, M2]]  (NOT the
+    nilpotent-doubling series rejected in docs/perf.md — no powers of the
+    strictly-lower part appear, each sub-inverse comes exactly from the
+    base kernel).
+    """
+    b = Akk.shape[-1]
+    if b <= sub:
+        return _factor_diag(Akk, leaf, _diag_engine(Akk, b, 'auto'),
+                            precision)
+    h = max(b // sub // 2, 1) * sub        # lower split, a sub multiple
+    A11 = Akk[..., :h, :h]
+    A21 = Akk[..., h:, :h]
+    A22 = Akk[..., h:, h:]
+    L11, M1 = _factor_diag_hier(A11, leaf, precision, sub)
+    L21 = jnp.matmul(A21, jnp.swapaxes(M1, -1, -2), precision=precision)
+    S22 = A22 - jnp.matmul(L21, jnp.swapaxes(L21, -1, -2),
+                           precision=precision)
+    L22, M2 = _factor_diag_hier(S22, leaf, precision, sub)
+    z = jnp.zeros(Akk.shape[:-2] + (h, b - h), Akk.dtype)
+    L = jnp.concatenate([jnp.concatenate([L11, z], -1),
+                         jnp.concatenate([L21, L22], -1)], -2)
+    M21 = -jnp.matmul(M2, jnp.matmul(L21, M1, precision=precision),
+                      precision=precision)
+    Minv = jnp.concatenate([jnp.concatenate([M1, z], -1),
+                            jnp.concatenate([M21, M2], -1)], -2)
+    return L, Minv
 
 
 def _blocked_factor(K, block, leaf, precision, engine):
@@ -99,7 +146,8 @@ def _blocked_factor(K, block, leaf, precision, engine):
             L_row = L[..., s:s + block, :s]          # (..., b, s)
             A_col = A_col - jnp.matmul(
                 L_left, jnp.swapaxes(L_row, -1, -2), precision=precision)
-        Lkk, Minv = _factor_diag(A_col[..., :block, :], leaf, engine)
+        Lkk, Minv = _factor_diag(A_col[..., :block, :], leaf, engine,
+                                 precision)
         minvs.append(Minv)
         if k < nb - 1:
             Lp = jnp.matmul(A_col[..., block:, :],
@@ -153,10 +201,14 @@ def batched_blocked_cholesky(K, block=256, leaf=32,
     leaf : leaf size of the recursive (non-Pallas) diagonal factorization
     precision : MXU precision of the update/panel GEMMs.  HIGHEST (6-pass
         f32) is the safe default for factorizations; HIGH (3-pass bf16)
-        is ~1.8x faster at ~1e-6 relative factor error — acceptable when
-        a nugget bounds the condition number.
-    diag : 'auto' | 'pallas' | 'recursive' — diagonal-block engine
-        ('auto': Pallas on TPU f32, recursive elsewhere)
+        measures 13% faster on the headline pipeline at ~1e-3 relative
+        logpdf error (docs/perf.md round 3) — acceptable for optimizer
+        objectives when a nugget bounds the condition number.
+    diag : 'auto' | 'pallas' | 'recursive' | 'hier' — diagonal-block
+        engine ('auto': Pallas on TPU f32, recursive elsewhere; 'hier'
+        splits wide blocks recursively to Pallas-128 bases — exact but
+        measured slower than flat block=128, kept for block > 512 where
+        the flat kernel exceeds VMEM)
 
     Identical math to ``jnp.linalg.cholesky`` (same factor to round-off at
     equal precision); see module docstring for why it is faster here.
