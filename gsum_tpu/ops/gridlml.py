@@ -39,8 +39,22 @@ def batched_cho_solve(L, B, leaf=16):
                       precision=_HI)
 
 
+def _resolve_mxu_precision(p):
+    """'highest' | 'high' | a jax.lax.Precision | None (-> HIGHEST)."""
+    if p is None:
+        return jax.lax.Precision.HIGHEST
+    if isinstance(p, str):
+        try:
+            return {'highest': jax.lax.Precision.HIGHEST,
+                    'high': jax.lax.Precision.HIGH}[p.lower()]
+        except KeyError:
+            raise ValueError("mxu_precision must be 'highest' or 'high', "
+                             "got %r" % (p,))
+    return p
+
+
 def cgp_lml_grid(Rs, y, basis, center0, disp0, df0, scale0, leaf=16,
-                 engine='unrolled', block=None):
+                 engine='unrolled', block=None, mxu_precision=None):
     R"""ConjugateGaussianProcess lml for a batch of correlation matrices.
 
     Parameters
@@ -69,6 +83,12 @@ def cgp_lml_grid(Rs, y, basis, center0, disp0, df0, scale0, leaf=16,
         adjoint the compile service's memory scales with that count —
         batched_fit passes a larger block at large N to keep the
         forward+adjoint HLO compilable (docs/perf.md).
+    mxu_precision : 'highest' (default) | 'high' | jax.lax.Precision —
+        MXU precision of the *blocked* engine's GEMMs (ignored by the
+        other engines).  'high' (bf16x3) measures 13% faster on the
+        headline pipeline at ~1e-3 relative lml error (docs/perf.md
+        round 3) — fine for optimizer objectives, below this library's
+        accuracy contract for reported evidences.
 
     Returns
     -------
@@ -99,7 +119,8 @@ def cgp_lml_grid(Rs, y, basis, center0, disp0, df0, scale0, leaf=16,
                                 blocked_tri_inv_diag)
 
         blk = 128 if block is None else int(block)
-        L0 = batched_blocked_cholesky(Rs, block=blk)
+        prec = _resolve_mxu_precision(mxu_precision)
+        L0 = batched_blocked_cholesky(Rs, block=blk, precision=prec)
     else:
         L0 = batched_small_cholesky(Rs, leaf)
     diag = jnp.diagonal(L0, axis1=-2, axis2=-1)
@@ -113,7 +134,7 @@ def cgp_lml_grid(Rs, y, basis, center0, disp0, df0, scale0, leaf=16,
         # differentiable pair: custom-VJP factorization + custom-VJP
         # diagonal-block inverses (the Pallas-kernel inverses have no VJP)
         L = jax.lax.optimization_barrier(
-            batched_blocked_cholesky(Rs_safe, block=blk))
+            batched_blocked_cholesky(Rs_safe, block=blk, precision=prec))
         minvs = blocked_tri_inv_diag(L, block=blk)
     else:
         L = jax.lax.optimization_barrier(batched_small_cholesky(Rs_safe, leaf))
@@ -128,7 +149,7 @@ def cgp_lml_grid(Rs, y, basis, center0, disp0, df0, scale0, leaf=16,
     if engine == 'scan':
         invR_yB = scan_cho_solve(L, minvs, yB)
     elif engine == 'blocked':
-        invR_yB = blocked_cho_solve(L, minvs, yB)
+        invR_yB = blocked_cho_solve(L, minvs, yB, precision=prec)
     else:
         invR_yB = batched_cho_solve(L, yB, leaf)
     invR_y = invR_yB[..., :m]                                       # (G, N, m)

@@ -95,13 +95,14 @@ def _resolve_basis(basis, X):
 _GRID_FN_CACHE = {}
 
 
-def _get_grid_fn(kernel, center, disp, df, scale, nugget, grid_engine):
+def _get_grid_fn(kernel, center, disp, df, scale, nugget, grid_engine,
+                 mxu_precision=None):
     """Compiled grid evaluator; ``grid_engine`` is 'unrolled', 'scan',
     or None (the vmapped scalar lml)."""
     c0 = np.atleast_1d(center)
     V0 = np.atleast_2d(disp)
     key = (kernel.structure_key(), c0.tobytes(), V0.tobytes(), float(df),
-           float(scale), float(nugget), grid_engine)
+           float(scale), float(nugget), grid_engine, str(mxu_precision))
     fn = _GRID_FN_CACHE.get(key)
     if fn is not None:
         return fn
@@ -118,7 +119,8 @@ def _get_grid_fn(kernel, center, disp, df, scale, nugget, grid_engine):
             # every slice consumer of the blocked factorization
             Rs = jax.lax.optimization_barrier(Rs)
             return cgp_lml_grid(Rs, y2, basis, c0, V0, df, scale,
-                                engine=grid_engine)
+                                engine=grid_engine,
+                                mxu_precision=mxu_precision)
     else:
         lml = make_lml_fn(kernel, center, disp, df, scale, nugget)
 
@@ -132,7 +134,7 @@ def _get_grid_fn(kernel, center, disp, df, scale, nugget, grid_engine):
 
 def batched_lml_grid(kernel, X, y, thetas, center=0, disp=0, df=1, scale=1,
                      nugget=1e-10, mesh=None, basis=None, engine='auto',
-                     precision='f64', top_k=64):
+                     precision='f64', top_k=64, mxu_precision=None):
     R"""Log-marginal likelihood over a grid of kernel hyperparameters.
 
     For N <= 256 this runs the explicitly-batched evaluator
@@ -171,6 +173,10 @@ def batched_lml_grid(kernel, X, y, thetas, center=0, disp=0, df=1, scale=1,
         or a peak-region posterior; keep 'f64' when the far tails of the
         surface must be quadrature-grade.
     top_k : int — number of best f32 points polished at f64 in 'mixed'
+    mxu_precision : None (= 'highest') | 'high' — MXU precision of the
+        *blocked* engine's GEMMs; 'high' (bf16x3) is 13% faster at ~1e-3
+        relative lml error (docs/perf.md round 3) — for sweeps feeding a
+        MAP choice, not for reported evidences
 
     Returns
     -------
@@ -181,7 +187,8 @@ def batched_lml_grid(kernel, X, y, thetas, center=0, disp=0, df=1, scale=1,
     if precision == 'mixed':
         vals32 = batched_lml_grid(kernel, X, y, thetas, center, disp, df,
                                   scale, nugget, mesh, basis, engine,
-                                  precision='f32')
+                                  precision='f32',
+                                  mxu_precision=mxu_precision)
         thetas = jnp.asarray(thetas)
         G = thetas.shape[0]
         k = min(int(top_k), G)
@@ -220,7 +227,8 @@ def batched_lml_grid(kernel, X, y, thetas, center=0, disp=0, df=1, scale=1,
     else:
         grid_engine = {'grid': 'unrolled', 'scan': 'scan',
                        'blocked': 'blocked', 'scalar': None}[engine]
-    fn = _get_grid_fn(kernel, center, disp, df, scale, nugget, grid_engine)
+    fn = _get_grid_fn(kernel, center, disp, df, scale, nugget, grid_engine,
+                      mxu_precision=mxu_precision)
     if mesh is not None:
         thetas = jax.device_put(thetas, NamedSharding(mesh, P('batch')))
     return fn(thetas, X, y2, basis)
@@ -262,7 +270,8 @@ def _fit_one(lml_fn, value_fn, theta0, lower, upper, X, y2, basis,
 def batched_fit(kernel, X, y_batch, center=0, disp=0, df=1, scale=1,
                 nugget=1e-10, maxiter=100, theta0=None, mesh=None,
                 n_restarts=0, seed=0, chunk=128, basis=None, engine='auto',
-                ls_steps=10, precision='f64', polish_iters=15):
+                ls_steps=10, precision='f64', polish_iters=15,
+                mxu_precision=None):
     R"""MAP-fit a ConjugateGaussianProcess independently to each batch element.
 
     Replaces Python loops of ``gp.fit`` (e.g. the KL diagnostic's 1000
@@ -318,6 +327,13 @@ def batched_fit(kernel, X, y_batch, center=0, disp=0, df=1, scale=1,
         well-conditioned objectives, which the f64 polish then closes;
         single-device path only.
     polish_iters : int — f64 polish steps per fit in 'mixed'
+    mxu_precision : None (= 'highest') | 'high' — MXU precision of the
+        *blocked* engine's objective GEMMs (ignored by the other
+        engines).  'high' (bf16x3) measures 13% faster at ~1e-3 relative
+        lml error (docs/perf.md round 3); the MAP argmax is robust to
+        that (the objective is flat to ~1e-3 near its top — see the
+        engine-spread note in docs/perf.md), and under ``precision=
+        'mixed'`` the f64 polish removes it from the final state
 
     Returns
     -------
@@ -333,7 +349,8 @@ def batched_fit(kernel, X, y_batch, center=0, disp=0, df=1, scale=1,
                              np.asarray(y_batch, dtype=np.float32),
                              center, disp, df, scale, nugget, maxiter,
                              theta0, None, n_restarts, seed, chunk, basis,
-                             engine, ls_steps, precision='f32')
+                             engine, ls_steps, precision='f32',
+                             mxu_precision=mxu_precision)
         dtype64 = jnp.result_type(float)
         X64 = jnp.atleast_2d(jnp.asarray(X, dtype=dtype64))
         y64 = jnp.asarray(y_batch, dtype=dtype64)
@@ -401,7 +418,7 @@ def batched_fit(kernel, X, y_batch, center=0, disp=0, df=1, scale=1,
     # these matrix sizes.
     return _batched_fit_wide(frozen, X, y_batch, basis, starts, lower, upper,
                              c0, V0, df, scale, nugget, maxiter, chunk,
-                             engine, ls_steps)
+                             engine, ls_steps, mxu_precision=mxu_precision)
 
 
 def _auto_fit_engine(dtype, N, backend):
@@ -460,7 +477,8 @@ def _scalar_chunk_cap(N, ls_steps, dtype):
 
 def _batched_fit_wide(frozen, X, y_batch, basis, starts, lower, upper,
                       c0, V0, df0, scale0, nugget, maxiter, chunk,
-                      engine='auto', ls_steps=10, t0_per_fit=None):
+                      engine='auto', ls_steps=10, t0_per_fit=None,
+                      mxu_precision=None):
     from ..ops.gridlml import cgp_lml_grid
     from .. import conjugate as _conj2
 
@@ -505,7 +523,8 @@ def _batched_fit_wide(frozen, X, y_batch, basis, starts, lower, upper,
             Rs = Rs + nugget * jnp.eye(N, dtype=Rs.dtype)
             Rs = jax.lax.optimization_barrier(Rs)
             return -cgp_lml_grid(Rs, Ys_full, basis, c0, V0, df0, scale0,
-                                 engine=grid_engine, block=fit_block)
+                                 engine=grid_engine, block=fit_block,
+                                 mxu_precision=mxu_precision)
 
         topt, fmin = fixed_lbfgs_bounded_batched(fun_b, T0, lower, upper,
                                                  maxiter=maxiter,
@@ -628,16 +647,23 @@ def truncation_lml_grid(kernel, X, y, orders, ratios, thetas, ref=1,
     orders_j = jnp.asarray(orders, dtype=y.dtype)
 
     def fn(ths, rats, Xa, ya, refv):
+        # N comes from the traced argument, NOT the enclosing scope: the
+        # jitted closure is cached by (structure, priors, orders) and
+        # retraces on new input shapes — a closed-over Python N would be
+        # baked in from the first call and break every later call at a
+        # different data size (caught by the full suite: a (T, 15, 15)
+        # grid adding the first caller's eye(12))
+        Nl = Xa.shape[0]
         # coefficient extraction for every ratio (reference helpers.py:71-101)
         diffs = jnp.concatenate([ya[:, :1], jnp.diff(ya, axis=-1)], axis=-1)
         denom = refv[None, :, None] * rats[:, :, None] ** orders_j[None, None, :]
         coeffs = (diffs[None] / denom)[:, :, mask_j]               # (R, N, m)
 
         Rs = jax.vmap(lambda th: frozen.value_fn(th, Xa, None))(ths)
-        Rs = Rs + nugget * jnp.eye(N, dtype=Rs.dtype)
+        Rs = Rs + nugget * jnp.eye(Nl, dtype=Rs.dtype)
         Rs = jax.lax.optimization_barrier(Rs)
 
-        basis = jnp.ones((N, 1), dtype=Xa.dtype)
+        basis = jnp.ones((Nl, 1), dtype=Xa.dtype)
         lml = grid2(Rs, coeffs, basis, c0, V0, df, scale)  # (T, R)
 
         # change-of-variables determinant (reference models.py:1505-1506)

@@ -7,8 +7,11 @@ Lambda_b evidence sweeps).  This module adds the proper MCMC counterpart:
 Hamiltonian Monte Carlo over the kernel's log-hyperparameters with the
 jitted conjugate lml as the target, designed TPU-first —
 
-- the whole warmup + sampling run is ONE jitted ``lax.scan`` program
-  (no per-step host round trips through the TPU tunnel);
+- the whole warmup + sampling run is jitted ``lax.scan`` programs with
+  no per-step host round trips through the TPU tunnel — on TPU split
+  into bounded segment executions (``steps_per_call``, bit-identical to
+  the single program: the tunneled worker kills overly long single
+  executions, see CLAUDE.md), one program elsewhere;
 - chains are ``vmap``-ed, so 4 or 4096 chains cost one program;
 - box bounds are removed with the same sigmoid/softplus reparameterization
   the bounded L-BFGS uses (``optimize._to_bounded``), with the exact
@@ -52,23 +55,19 @@ def _log_jac_bounded(z, lo, hi):
                      jnp.where(lo_f | hi_f, lj_one, 0.0))
 
 
-def hmc(logdensity, z0, key, n_samples=1000, n_warmup=500, n_leapfrog=16,
-        init_step_size=0.1, target_accept=0.8):
-    """Single-chain HMC as one jitted two-scan program; ``vmap`` for chains.
+def _make_hmc_programs(logdensity, d, n_leapfrog, init_step_size,
+                       target_accept):
+    """Per-chain warmup / sampling segment programs.
 
-    ``logdensity(z) -> scalar`` must be JAX-traceable on the unconstrained
-    vector ``z``.  A fixed number of leapfrog steps per proposal keeps the
-    program free of data-dependent trip counts (the TPU rule: fixed-trip
-    ``lax.scan``, never ``while_loop`` — see CLAUDE.md).  Warmup adapts
-    the step size by dual averaging toward ``target_accept``; sampling
-    runs at the adapted (averaged) step size.
-
-    Returns ``(samples, info)``: samples ``(n_samples, d)`` and a dict
-    with ``accept_rate`` (mean over the sampling phase), ``step_size``,
-    and the final ``logdensity`` value.
+    ``warmup_seg(carry, i0, n)`` advances ``n`` dual-averaging warmup
+    steps starting at step index ``i0``; ``sample_seg(carry, n)``
+    advances ``n`` sampling steps and returns their draws.  Both are pure
+    fixed-trip ``lax.scan`` programs, so scanning the same total in one
+    call or several identical-carry segments is the SAME computation —
+    which is what lets :func:`_run_bounded_hmc` split long chains into
+    bounded device executions (the tunneled TPU worker here kills single
+    executions that run too long; see CLAUDE.md and docs/perf.md).
     """
-    z0 = jnp.asarray(z0, dtype=jnp.result_type(float))
-    d = z0.shape[0]
     grad_fn = jax.value_and_grad(logdensity)
 
     def leapfrog(z, p, eps):
@@ -115,21 +114,58 @@ def hmc(logdensity, z0, key, n_samples=1000, n_warmup=500, n_leapfrog=16,
         log_eps_bar = w * log_eps + (1 - w) * log_eps_bar
         return (z, lp, key, log_eps, log_eps_bar, h_bar), None
 
+    def warmup_seg(carry, i0, n):
+        idx = i0 + jnp.arange(n, dtype=carry[0].dtype)
+        carry, _ = jax.lax.scan(warmup_step, carry, idx)
+        return carry
+
     def sample_step(carry, _):
         z, lp, eps, key = carry
         z, lp, accept_p, key = proposal(z, lp, eps, key)
         return (z, lp, eps, key), (z, accept_p)
 
+    def sample_seg(carry, n):
+        carry, (samples, accept_ps) = jax.lax.scan(sample_step, carry, None,
+                                                   length=n)
+        return carry, samples, accept_ps
+
+    return warmup_seg, sample_seg
+
+
+def hmc(logdensity, z0, key, n_samples=1000, n_warmup=500, n_leapfrog=16,
+        init_step_size=0.1, target_accept=0.8):
+    """Single-chain HMC as one jitted two-scan program; ``vmap`` for chains.
+
+    ``logdensity(z) -> scalar`` must be JAX-traceable on the unconstrained
+    vector ``z``.  A fixed number of leapfrog steps per proposal keeps the
+    program free of data-dependent trip counts (the TPU rule: fixed-trip
+    ``lax.scan``, never ``while_loop`` — see CLAUDE.md).  Warmup adapts
+    the step size by dual averaging toward ``target_accept``; sampling
+    runs at the adapted (averaged) step size.
+
+    Returns ``(samples, info)``: samples ``(n_samples, d)`` and a dict
+    with ``accept_rate`` (mean over the sampling phase), ``step_size``,
+    and the final ``logdensity`` value.
+
+    NOTE: as one program this runs ``(n_warmup + n_samples) * n_leapfrog``
+    gradient evaluations in a single device execution — on this box's
+    tunneled TPU, long chains must instead go through the segmented
+    driver used by :func:`sample_theta_posterior` (``steps_per_call``).
+    """
+    z0 = jnp.asarray(z0, dtype=jnp.result_type(float))
+    d = z0.shape[0]
+    warmup_seg, sample_seg = _make_hmc_programs(
+        logdensity, d, n_leapfrog, init_step_size, target_accept)
+
     def run(z0, key):
         lp0 = logdensity(z0)
         carry = (z0, lp0, key, jnp.log(init_step_size),
                  jnp.log(init_step_size), 0.0)
-        carry, _ = jax.lax.scan(warmup_step, carry,
-                                jnp.arange(n_warmup, dtype=z0.dtype))
+        carry = warmup_seg(carry, jnp.asarray(0.0, z0.dtype), n_warmup)
         z, lp, key = carry[0], carry[1], carry[2]
         eps = jnp.exp(carry[4])  # averaged step size
-        (z, lp, eps, key), (samples, accept_ps) = jax.lax.scan(
-            sample_step, (z, lp, eps, key), None, length=n_samples)
+        (z, lp, eps, key), samples, accept_ps = sample_seg(
+            (z, lp, eps, key), n_samples)
         return samples, {'accept_rate': jnp.mean(accept_ps),
                          'step_size': eps, 'final_logdensity': lp}
 
@@ -155,9 +191,13 @@ def split_rhat(chains):
     return np.sqrt(var_plus / np.where(W > 0, W, 1.0))
 
 
+_TPU_STEPS_PER_CALL = 128  # (x n_leapfrog gradient evals) per execution
+
+
 def _run_bounded_hmc(loglike, bounds, x0_center, n_chains, n_samples,
                      n_warmup, n_leapfrog, init_step_size, target_accept,
-                     random_state, extra_log_prior=None):
+                     random_state, extra_log_prior=None,
+                     steps_per_call=None):
     """Shared driver: vmapped-chain HMC on a box-bounded vector.
 
     ``loglike(x) -> scalar`` on the BOUNDED vector; the box is removed by
@@ -166,6 +206,15 @@ def _run_bounded_hmc(loglike, bounds, x0_center, n_chains, n_samples,
     ``exp(loglike(x)) * exp(extra_log_prior(x))`` times a flat prior
     within the bounds.  Chain inits jitter around ``x0_center``.
     Returns (samples_in_x_space (n_chains, n_samples, d), info dict).
+
+    ``steps_per_call`` bounds how many HMC steps one device execution
+    scans (None: 128 on TPU, unsegmented elsewhere).  The tunneled TPU
+    worker on this box kills single executions that run too long — a
+    4-chain 2500-step run at n_leapfrog=16 (40k lml+gradient evaluations
+    in one program) crashed it — so long chains run as a host loop of
+    identical-carry segment dispatches: same scan math, same RNG stream,
+    bit-identical samples, with nothing fetched until the end (dispatches
+    are async; only the final transfer synchronizes).
     """
     bounds = np.asarray(bounds, dtype=float)
     d = bounds.shape[0]
@@ -194,11 +243,20 @@ def _run_bounded_hmc(loglike, bounds, x0_center, n_chains, n_samples,
         random_state if isinstance(random_state, (int, np.integer)) else 0),
         n_chains)
 
-    run = jax.jit(jax.vmap(lambda z, k: hmc(
-        logdensity, z, k, n_samples=n_samples, n_warmup=n_warmup,
-        n_leapfrog=n_leapfrog, init_step_size=init_step_size,
-        target_accept=target_accept)))
-    zs, info = run(z0, keys)
+    if steps_per_call is None:
+        steps_per_call = (_TPU_STEPS_PER_CALL
+                          if jax.default_backend() == 'tpu' else 0)
+
+    if not steps_per_call:
+        run = jax.jit(jax.vmap(lambda z, k: hmc(
+            logdensity, z, k, n_samples=n_samples, n_warmup=n_warmup,
+            n_leapfrog=n_leapfrog, init_step_size=init_step_size,
+            target_accept=target_accept)))
+        zs, info = run(z0, keys)
+    else:
+        zs, info = _segmented_chains(
+            logdensity, z0, keys, n_samples, n_warmup, n_leapfrog,
+            init_step_size, target_accept, int(steps_per_call))
 
     xs = jax.vmap(jax.vmap(lambda z: _to_bounded(z, lo, hi)))(zs)
     info = {k: np.asarray(v) for k, v in info.items()}
@@ -206,10 +264,69 @@ def _run_bounded_hmc(loglike, bounds, x0_center, n_chains, n_samples,
     return xs, info
 
 
+def _segmented_chains(logdensity, z0, keys, n_samples, n_warmup, n_leapfrog,
+                      init_step_size, target_accept, steps_per_call):
+    """Vmapped chains as a host loop of bounded segment executions.
+
+    Identical math to the one-program path (the scans compose over the
+    carried state and the per-proposal RNG keys live in the carry), just
+    split into executions of at most ``steps_per_call`` HMC steps each.
+    At most two distinct segment lengths occur per phase, so at most four
+    programs compile.
+    """
+    d = z0.shape[-1]
+    dtype = z0.dtype
+    warmup_seg, sample_seg = _make_hmc_programs(
+        logdensity, d, n_leapfrog, init_step_size, target_accept)
+
+    progs = {}
+
+    def call(kind, carry, i0, n):
+        fn = progs.get((kind, n))
+        if fn is None:
+            if kind == 'warm':
+                fn = jax.jit(jax.vmap(
+                    lambda c, j0: warmup_seg(c, j0, n), in_axes=(0, None)))
+            else:
+                fn = jax.jit(jax.vmap(lambda c: sample_seg(c, n)))
+            progs[(kind, n)] = fn
+        if kind == 'warm':
+            return fn(carry, jnp.asarray(i0, dtype))
+        return fn(carry)
+
+    def segments(total):
+        done = 0
+        while done < total:
+            n = min(steps_per_call, total - done)
+            yield done, n
+            done += n
+
+    lp0 = jax.jit(jax.vmap(logdensity))(z0)
+    C = z0.shape[0]
+    le0 = jnp.full((C,), jnp.log(init_step_size), dtype)
+    carry = (z0, lp0, keys, le0, le0, jnp.zeros((C,), dtype))
+    for i0, n in segments(n_warmup):
+        carry = call('warm', carry, i0, n)
+
+    eps = jnp.exp(carry[4])  # averaged step size
+    scarry = (carry[0], carry[1], eps, carry[2])
+    zs_parts, ap_parts = [], []
+    for _, n in segments(n_samples):
+        scarry, z_seg, ap_seg = call('sample', scarry, 0, n)
+        zs_parts.append(z_seg)
+        ap_parts.append(ap_seg)
+
+    zs = jnp.concatenate(zs_parts, axis=1)             # (C, n_samples, d)
+    accept = jnp.mean(jnp.concatenate(ap_parts, axis=1), axis=1)
+    info = {'accept_rate': accept, 'step_size': scarry[2],
+            'final_logdensity': scarry[1]}
+    return zs, info
+
+
 def sample_theta_posterior(gp, X=None, y=None, n_chains=4, n_samples=1000,
                            n_warmup=500, n_leapfrog=16, init_step_size=0.1,
                            target_accept=0.8, random_state=0,
-                           extra_log_prior=None):
+                           extra_log_prior=None, steps_per_call=None):
     R"""HMC posterior over a conjugate process's kernel log-hyperparameters.
 
     The target is :math:`p(\theta\mid y) \propto \exp(\mathrm{lml}(\theta))`
@@ -227,6 +344,11 @@ def sample_theta_posterior(gp, X=None, y=None, n_chains=4, n_samples=1000,
     Returns ``(thetas, info)``: ``thetas`` is (n_chains, n_samples, n_dims)
     in log space (apply ``np.exp`` for natural parameters), ``info`` has
     per-chain ``accept_rate``, adapted ``step_size``, and ``rhat`` (d,).
+
+    ``steps_per_call``: maximum HMC steps per device execution (None:
+    128 on TPU — the tunneled worker here kills overly long single
+    executions — unsegmented elsewhere; 0 forces one program).
+    Segmentation is an execution detail: the samples are identical.
     """
     kernel = gp._kernel_for_lml()
     if kernel.n_dims == 0:
@@ -250,14 +372,14 @@ def sample_theta_posterior(gp, X=None, y=None, n_chains=4, n_samples=1000,
         loglike, np.asarray(kernel.bounds, dtype=float),
         np.asarray(kernel.theta, dtype=float), n_chains, n_samples,
         n_warmup, n_leapfrog, init_step_size, target_accept, random_state,
-        extra_log_prior=extra_log_prior)
+        extra_log_prior=extra_log_prior, steps_per_call=steps_per_call)
 
 
 def sample_truncation_posterior(tgp, ratio_param, q_bounds, q0=None,
                                 n_chains=4, n_samples=1000, n_warmup=500,
                                 n_leapfrog=16, init_step_size=0.1,
                                 target_accept=0.8, random_state=0,
-                                extra_log_prior=None):
+                                extra_log_prior=None, steps_per_call=None):
     R"""Joint HMC posterior over (kernel θ, expansion parameter q) of a
     fitted truncation process — the flagship cell-53 workflow as MCMC.
 
@@ -307,4 +429,4 @@ def sample_truncation_posterior(tgp, ratio_param, q_bounds, q0=None,
     return _run_bounded_hmc(
         loglike, bounds, x0, n_chains, n_samples, n_warmup, n_leapfrog,
         init_step_size, target_accept, random_state,
-        extra_log_prior=extra_log_prior)
+        extra_log_prior=extra_log_prior, steps_per_call=steps_per_call)

@@ -115,6 +115,53 @@ def test_joint_Q_ls_posterior_grid(scattering):
             np.testing.assert_allclose(lo, lr, rtol=1e-8, err_msg=f'{lam},{ls}')
 
 
+def test_hmc_joint_posterior_flow(scattering):
+    """examples/hyperparameter_posterior.py's core: the cell-53 joint
+    (ls, Lambda_b) posterior sampled by HMC must agree with quadrature of
+    the batched grid surface on the SAME real NN data (the two paths share
+    nothing past the model definition)."""
+    import jax.numpy as jnp
+
+    from gsum_tpu.parallel import truncation_lml_grid
+
+    X, y, orders, Q, ref_scale = scattering
+    Qbar = float(np.mean(Q))
+
+    def ratio_fn(X_, lam=1.0):
+        return jnp.full(X_.shape[0], Qbar / lam)
+
+    tgp = gm.TruncationGP(kernel=gm.RBF(0.5, (0.05, 3.0)), ratio=ratio_fn,
+                          ref=float(np.mean(ref_scale)), center=0, disp=0,
+                          df=3, scale=1, nugget=1e-8, optimizer=None)
+    tgp.fit(X, y, orders=orders)
+
+    samples, info = gm.sample_truncation_posterior(
+        tgp, ratio_param='lam', q_bounds=(0.6, 2.0), n_chains=2,
+        n_samples=500, n_warmup=300, random_state=1,
+        extra_log_prior=lambda x: -jnp.log(x[-1]))
+    assert samples.shape == (2, 500, 2)
+    assert np.all(info['rhat'] < 1.2)
+    s = np.asarray(samples).reshape(-1, 2)
+
+    th_grid = np.linspace(np.log(0.05), np.log(3.0), 60)
+    lam_grid = np.linspace(0.6, 2.0, 61)
+    ratios = np.stack([np.full(X.shape[0], Qbar / lam) for lam in lam_grid])
+    surf = np.asarray(truncation_lml_grid(
+        gm.RBF(0.5, (0.05, 3.0)), X, y, orders, ratios, th_grid[:, None],
+        ref=float(np.mean(ref_scale)), center=0, disp=0, df=3, scale=1,
+        nugget=1e-8))
+    logpost = surf - np.log(lam_grid)[None, :]
+    post = np.exp(logpost - logpost.max())
+    Zl = np.trapezoid(post, th_grid, axis=0)
+    mean_lam = np.trapezoid(Zl * lam_grid, lam_grid) / np.trapezoid(Zl, lam_grid)
+    Zt = np.trapezoid(post, lam_grid, axis=1)
+    mean_th = np.trapezoid(Zt * th_grid, th_grid) / np.trapezoid(Zt, th_grid)
+
+    # 1000 correlated draws: agree on marginal means to MC accuracy
+    assert abs(np.mean(s[:, 1]) - mean_lam) < 0.08
+    assert abs(np.mean(s[:, 0]) - mean_th) < 0.12
+
+
 def test_diagnostics_flow(scattering):
     """Model-checking pipeline on the extracted coefficients (essentials)."""
     X, y, orders, Q, ref_scale = scattering

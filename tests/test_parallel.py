@@ -134,6 +134,37 @@ def test_truncation_lml_grid_matches_model():
                                        err_msg=f'theta={th}, ratio={r}')
 
 
+def test_truncation_lml_grid_cache_across_sizes():
+    """Regression: the jitted surface evaluator is cached by (structure,
+    priors, orders) and must retrace cleanly at a NEW data size — an early
+    version baked the first caller's Python N into the closure (eye(N),
+    ones basis), so a same-key call at different N crashed with a broadcast
+    error (caught by the full suite: test_sample's N=15 surface after this
+    module's N=12 one)."""
+    from gsum_tpu.parallel import truncation_lml_grid
+
+    kernel = gm.RBF(0.3)
+    orders = np.arange(4)
+    thetas = np.log(np.array([0.25, 0.5]))[:, None]
+    for N in (12, 17):
+        Xg = np.linspace(0.1, 1.0, N)[:, None]
+        coeffs = np.asarray(gm.generate_coefficients(
+            Xg, size=len(orders), rng=5)).T
+        y_data = np.asarray(gm.partials(coeffs, 0.4, 2.0, orders))
+        surface = np.asarray(truncation_lml_grid(
+            kernel, Xg, y_data, orders, np.array([0.4]), thetas, ref=2.0,
+            center=0, disp=0, df=3, scale=1, nugget=1e-8))
+        tgp = gm.TruncationGP(kernel=kernel, ratio=0.4, ref=2.0, center=0,
+                              disp=0, df=3, scale=1, nugget=1e-8,
+                              optimizer=None)
+        tgp.fit(Xg, y_data, orders=orders)
+        for i, th in enumerate(thetas):
+            np.testing.assert_allclose(
+                surface[i, 0],
+                float(np.asarray(tgp.log_marginal_likelihood(th))),
+                rtol=1e-8)
+
+
 def test_truncation_lml_grid_excluded():
     from gsum_tpu.parallel import truncation_lml_grid
 
@@ -487,6 +518,21 @@ def test_lml_grid_blocked_engine_matches_loop():
         engine='blocked'))
     assert np.isfinite(out[0]) and np.isfinite(out[2])
     assert np.isneginf(out[1])
+
+    # mxu_precision plumbing: 'high' threads to the blocked engine's GEMMs
+    # (a no-op on the CPU backend, so exact equality checks the plumbing
+    # and the per-precision executable-cache keying, not the arithmetic —
+    # the 13%-at-1e-3-relerr trade itself is measured on-chip in
+    # docs/perf.md round 3)
+    grid_hi = np.asarray(batched_lml_grid(kernel, Xg, yg, thetas, df=3,
+                                          scale=1.0, nugget=1e-6,
+                                          engine='blocked',
+                                          mxu_precision='high'))
+    np.testing.assert_allclose(grid_hi, grid, rtol=1e-12)
+    with pytest.raises(ValueError):
+        np.asarray(batched_lml_grid(kernel, Xg, yg, thetas, df=3, scale=1.0,
+                                    nugget=1e-6, engine='blocked',
+                                    mxu_precision='bogus'))
 
 
 def test_blocked_engine_differentiable_and_fits():

@@ -102,6 +102,26 @@ def test_theta_posterior_extra_prior_shifts_mass():
     assert th.std() < 0.05
 
 
+def test_segmented_sampling_matches_single_program():
+    """steps_per_call is an execution detail for the tunneled TPU worker
+    (which kills overly long single executions — a 40k-gradient-eval HMC
+    program crashed it): splitting the warmup/sampling scans into bounded
+    segment dispatches must reproduce the single-program chains exactly
+    (same carried state, same RNG stream)."""
+    gp = _fit_gp()
+    one, info1 = gm.sample_theta_posterior(gp, n_chains=2, n_samples=40,
+                                           n_warmup=25, random_state=3,
+                                           steps_per_call=0)
+    seg, info7 = gm.sample_theta_posterior(gp, n_chains=2, n_samples=40,
+                                           n_warmup=25, random_state=3,
+                                           steps_per_call=7)
+    np.testing.assert_allclose(np.asarray(seg), np.asarray(one), rtol=1e-12)
+    np.testing.assert_allclose(info7['step_size'], info1['step_size'],
+                               rtol=1e-12)
+    np.testing.assert_allclose(info7['accept_rate'], info1['accept_rate'],
+                               rtol=1e-12)
+
+
 def test_theta_posterior_validation():
     gp = gm.ConjugateGaussianProcess(kernel=gm.RBF(0.3, 'fixed'),
                                      optimizer=None)
