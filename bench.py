@@ -76,7 +76,7 @@ def _timed_carry_loop(step, consts, iters=4, repeats=3):
     return max(min(times) - floor, 1e-9) / iters
 
 
-def bench_tpu(B, N, d, m, iters=4, repeats=3, method='blocked'):
+def bench_tpu(B, N, d, m, iters=4, repeats=3, method='blocked', **kw):
     import jax.numpy as jnp
 
     from gsum_tpu.ops import batched_chol_logpdf
@@ -90,7 +90,8 @@ def bench_tpu(B, N, d, m, iters=4, repeats=3, method='blocked'):
         # be hoisted out of the fori_loop, timing 1 execution as
         # `iters` (the perturbation is exactly 0 in f32 arithmetic)
         Xc = X_ + (1e-30 * jnp.sum(c)).astype(X_.dtype)
-        out = batched_chol_logpdf(Xc, y_, 0.25, 1.0, 1e-2, method=method)
+        out = batched_chol_logpdf(Xc, y_, 0.25, 1.0, 1e-2, method=method,
+                                  **kw)
         return c + 1e-6 * jnp.sum(out) * jnp.ones_like(c)
 
     dt = _timed_carry_loop(step, (X, y), iters, repeats)
@@ -217,6 +218,17 @@ def main():
         extra['blocked_vs_xla'] = round(gflops / gflops_xla, 3)
     except Exception as e:
         extra['blocked_vs_xla_error'] = type(e).__name__
+    try:
+        # the documented bf16x3 optimizer-objective opt-in
+        # (docs/perf.md round 3: ~1e-3 relative lml error)
+        import jax as _jax
+
+        gflops_high, dt_high = bench_tpu(
+            B, N, d, m, method='blocked',
+            precision=_jax.lax.Precision.HIGH)
+        extra['high_mxu_ms'] = round(dt_high * 1e3, 2)
+    except Exception as e:
+        extra['high_mxu_error'] = type(e).__name__
     try:
         extra['grid_lml_N256_f32_us'] = round(bench_grid_lml(256, 512,
                                                              'float32'), 2)
