@@ -322,6 +322,16 @@ class BaseConjugateProcess:
         d = np.asarray(self.dorders_)
         return (d.shape, d.tobytes())
 
+    def _prior_key(self):
+        """Hashable cache-key component for the concrete prior/nugget
+        values the jitted closures bake in as constants — so sklearn-style
+        post-construction mutation (``gp.nugget = ...``, ``gp._df_0 = ...``)
+        rebuilds the closure instead of silently reusing stale values."""
+        c = np.asarray(self.center0, dtype=float)
+        V = np.asarray(self.disp0, dtype=float)
+        return (c.shape, c.tobytes(), V.shape, V.tobytes(),
+                float(self.df0), float(self.scale0), float(self.nugget))
+
     def _wrap_corr_fn(self, value_fn):
         """Returns the correlation-matrix builder the closures should use:
         the kernel's ``value_fn`` itself, or — when the training rows are
@@ -388,7 +398,7 @@ class BaseConjugateProcess:
         the correlation builder closes over).
         """
         key = ('lml', kernel.structure_key(), self.decomposition,
-               self.chol_engine, self._dorders_key())
+               self.chol_engine, self._dorders_key(), self._prior_key())
         cached = self._jit_cache.get(key)
         if cached is not None:
             return cached
@@ -589,7 +599,7 @@ class BaseConjugateProcess:
     def _fit_state_closure(self, kernel):
         """Cached jitted computation of the full fitted state."""
         key = ('fit', kernel.structure_key(), self.decomposition,
-               self.chol_engine, self._dorders_key())
+               self.chol_engine, self._dorders_key(), self._prior_key())
         cached = self._jit_cache.get(key)
         if cached is not None:
             return cached
@@ -764,7 +774,7 @@ class BaseConjugateProcess:
         kind = type(self)._fused_kind
         key = ('predict', kind, kernel.structure_key(), self.decomposition,
                bool(return_std), bool(return_cov), bool(pred_noise),
-               self._dorders_key())
+               self._dorders_key(), self._prior_key())
         cached = self._jit_cache.get(key)
         if cached is not None:
             return cached

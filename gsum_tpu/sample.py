@@ -35,7 +35,7 @@ import jax.numpy as jnp
 from .optimize import _to_bounded, _to_unbounded
 
 __all__ = ['hmc', 'sample_theta_posterior', 'sample_truncation_posterior',
-           'split_rhat']
+           'split_rhat', 'effective_sample_size']
 
 
 def _log_jac_bounded(z, lo, hi):
@@ -191,6 +191,42 @@ def split_rhat(chains):
     return np.sqrt(var_plus / np.where(W > 0, W, 1.0))
 
 
+def effective_sample_size(chains):
+    R"""Multi-chain effective sample size (BDA3 §11.5 / Stan's estimator).
+
+    ``chains``: (n_chains, n_samples, d).  Per-lag autocovariances are
+    averaged over chains and combined with the between-chain variance
+    (``var_plus``, as in :func:`split_rhat`); the sum over lags uses
+    Geyer's initial-monotone-positive-pair truncation.  Returns (d,)
+    estimated counts of independent draws; host-side NumPy (FFT
+    autocovariance), like the other sampling diagnostics.
+    """
+    c = np.asarray(chains, dtype=float)
+    m, n, d = c.shape
+    cc = c - c.mean(axis=1, keepdims=True)
+    # FFT autocovariance per (chain, dim), biased normalization (1/n)
+    nfft = int(2 ** np.ceil(np.log2(2 * n)))
+    f = np.fft.rfft(cc, n=nfft, axis=1)
+    acov = np.fft.irfft(f * np.conj(f), n=nfft, axis=1)[:, :n].real / n
+    chain_vars = c.var(axis=1, ddof=1)                       # (m, d)
+    W = chain_vars.mean(axis=0)                              # (d,)
+    B_over_n = c.mean(axis=1).var(axis=0, ddof=1) if m > 1 else 0.0
+    var_plus = (n - 1) / n * W + B_over_n                    # (d,)
+
+    rho = 1.0 - (W - acov.mean(axis=0)) / np.where(var_plus > 0, var_plus,
+                                                   1.0)      # (n, d)
+    ess = np.empty(d)
+    for j in range(d):
+        # Geyer: sum consecutive-lag pairs while positive and decreasing
+        pair = rho[:-1 if n % 2 else None, j].reshape(-1, 2).sum(axis=1)
+        run = np.minimum.accumulate(pair)
+        keep = run > 0
+        tau = -1.0 + 2.0 * np.cumsum(np.where(keep, run, 0.0))[-1] \
+            if keep.any() else 1.0
+        ess[j] = m * n / max(tau, 1.0 / (m * n))
+    return ess
+
+
 _TPU_STEPS_PER_CALL = 128  # (x n_leapfrog gradient evals) per execution
 
 
@@ -260,7 +296,9 @@ def _run_bounded_hmc(loglike, bounds, x0_center, n_chains, n_samples,
 
     xs = jax.vmap(jax.vmap(lambda z: _to_bounded(z, lo, hi)))(zs)
     info = {k: np.asarray(v) for k, v in info.items()}
-    info['rhat'] = split_rhat(np.asarray(xs))
+    xs_np = np.asarray(xs)
+    info['rhat'] = split_rhat(xs_np)
+    info['ess'] = effective_sample_size(xs_np)
     return xs, info
 
 
@@ -343,7 +381,8 @@ def sample_theta_posterior(gp, X=None, y=None, n_chains=4, n_samples=1000,
 
     Returns ``(thetas, info)``: ``thetas`` is (n_chains, n_samples, n_dims)
     in log space (apply ``np.exp`` for natural parameters), ``info`` has
-    per-chain ``accept_rate``, adapted ``step_size``, and ``rhat`` (d,).
+    per-chain ``accept_rate``, adapted ``step_size``, ``rhat`` (d,), and
+    ``ess`` (d,) effective sample sizes.
 
     ``steps_per_call``: maximum HMC steps per device execution (None:
     128 on TPU — the tunneled worker here kills overly long single

@@ -223,6 +223,32 @@ def test_likelihood_method_works():
     assert np.isfinite(ll)
 
 
+def test_prior_mutation_invalidates_jit_closures():
+    """The jitted lml/fit/predict closures bake the concrete priors and
+    nugget as constants; their cache keys on the VALUES, so sklearn-style
+    post-construction mutation must retrace instead of silently reusing
+    the stale closure."""
+    gp = gm.ConjugateGaussianProcess(kernel=gm.RBF(1.0), df=3, scale=1,
+                                     nugget=1e-8, optimizer=None)
+    gp.fit(X, y)
+    l_before = float(np.asarray(gp.log_marginal_likelihood(np.array([0.0]))))
+
+    gp._df_0 = 10.0
+    gp.nugget = 1e-2
+    gp.fit(X, y)
+    l_after = float(np.asarray(gp.log_marginal_likelihood(np.array([0.0]))))
+
+    want = gm.ConjugateGaussianProcess(kernel=gm.RBF(1.0), df=10, scale=1,
+                                       nugget=1e-2, optimizer=None)
+    want.fit(X, y)
+    l_want = float(np.asarray(want.log_marginal_likelihood(np.array([0.0]))))
+    assert l_after != l_before
+    np.testing.assert_allclose(l_after, l_want, rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(gp.df_), np.asarray(want.df_))
+    np.testing.assert_allclose(np.asarray(gp.scale_), np.asarray(want.scale_),
+                               rtol=1e-12)
+
+
 def test_chol_engine_blocked_threads_through_model(monkeypatch):
     """chol_engine='blocked' routes fit/lml/predict factorizations through
     the GEMM-dominated blocked engine (ops.blockchol) and reproduces the

@@ -122,6 +122,27 @@ def test_segmented_sampling_matches_single_program():
                                rtol=1e-12)
 
 
+def test_effective_sample_size():
+    """iid chains estimate ESS ~ m*n; an AR(1) chain with coefficient a
+    has the analytic ESS factor (1-a)/(1+a)."""
+    from gsum_tpu.sample import effective_sample_size
+
+    rng = np.random.RandomState(0)
+    m, n = 4, 4000
+    iid = rng.randn(m, n, 2)
+    ess = effective_sample_size(iid)
+    assert np.all(ess > 0.75 * m * n) and np.all(ess < 1.35 * m * n)
+
+    a = 0.9
+    x = np.zeros((m, n, 1))
+    eps = rng.randn(m, n)
+    for t in range(1, n):
+        x[:, t, 0] = a * x[:, t - 1, 0] + eps[:, t]
+    want = m * n * (1 - a) / (1 + a)
+    got = effective_sample_size(x)[0]
+    assert 0.5 * want < got < 2.0 * want, (got, want)
+
+
 def test_theta_posterior_validation():
     gp = gm.ConjugateGaussianProcess(kernel=gm.RBF(0.3, 'fixed'),
                                      optimizer=None)
