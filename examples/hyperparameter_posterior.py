@@ -88,9 +88,10 @@ def main():
     s = np.asarray(samples).reshape(-1, 2)
     ls_s, lam_s = np.exp(s[:, 0]), s[:, 1]
     t_hmc = time.perf_counter() - t0
-    print('HMC: %d chains x %d samples in %.1f s  accept=%s  rhat=%s'
+    print('HMC: %d chains x %d samples in %.1f s  accept=%s  rhat=%s  ess=%s'
           % (args.n_chains, args.n_samples, t_hmc,
-             np.round(info['accept_rate'], 3), np.round(info['rhat'], 4)))
+             np.round(info['accept_rate'], 3), np.round(info['rhat'], 4),
+             np.round(info['ess'], 0)))
     print('posterior medians: ls = %.3f,  Lambda_b = %.0f MeV'
           % (np.median(ls_s), LAMBDA_REF * np.median(lam_s)))
 
