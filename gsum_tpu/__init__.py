@@ -55,7 +55,8 @@ from .pdfmeta import add_pdf_metadata, get_pdf_metadata
 
 from .derivs import deriv_cov, deriv_mean, kernel_deriv_cov
 
-from .sample import hmc, sample_theta_posterior, sample_truncation_posterior
+from .sample import (hmc, posterior_predictive, sample_theta_posterior,
+                     sample_truncation_posterior)
 
 from . import derivs
 from . import sample

@@ -26,9 +26,9 @@ from ..models import ConjugateGaussianProcess
 from ..optimize import (fixed_lbfgs_bounded,
                         fixed_lbfgs_bounded_batched, jit_lbfgs_bounded)
 
-__all__ = ['batched_fit', 'batched_predict', 'batched_lml_grid',
-           'truncation_lml_grid', 'pointwise_evidence_grid', 'make_lml_fn',
-           'BatchedPosterior']
+__all__ = ['batched_fit', 'batched_predict', 'batched_posterior_at',
+           'batched_lml_grid', 'truncation_lml_grid',
+           'pointwise_evidence_grid', 'make_lml_fn', 'BatchedPosterior']
 
 _np_log_2pi = float(np.log(2 * np.pi))
 
@@ -812,3 +812,76 @@ def batched_predict(kernel, post, X, y_batch, Xnew, mesh=None, basis=None):
     fn = jax.vmap(one)
     fn = jax.jit(fn)
     return fn(post.theta, post.chol, post.center, post.cov_factor, y_batch)
+
+
+def batched_posterior_at(kernel, X, y, thetas, center=0, disp=0, df=1,
+                         scale=1, nugget=1e-10, basis=None, chunk=128,
+                         mesh=None):
+    R"""Conjugate posterior states at GIVEN hyperparameters — no optimization.
+
+    The state half of :func:`batched_fit` evaluated at an externally
+    supplied set of ``thetas`` (log-space, one row per draw), e.g. HMC
+    draws from :func:`gsum_tpu.sample.sample_theta_posterior` or the nodes
+    of a quadrature grid.  For each theta the covariance is built and
+    factorized once and the closed-form conjugate updates (reference
+    models.py:169-457 — here ``conjugate.compute_*``) produce
+    ``center/disp/df/scale_sq/cov_factor`` exactly as ``fit`` would after
+    its MAP optimization, plus the lml at that theta.
+
+    Feeding the result to :func:`batched_predict` gives per-draw
+    predictive moments — the building block of full-Bayes posterior
+    predictives (``gsum_tpu.sample.posterior_predictive``).
+
+    Parameters
+    ----------
+    kernel : Kernel — structure (its own theta is ignored)
+    X : (N, d) inputs shared by every draw
+    y : (N,) or (N, m) data shared by every draw
+    thetas : (B, n_dims) log-hyperparameter rows
+    center, disp, df, scale, nugget, basis : as in :func:`batched_fit`
+    chunk : evaluate at most this many draws per device call (the
+        tunneled TPU worker here kills overlong executions); one compile
+        serves all full chunks
+    mesh : optional Mesh — shard B over the 'batch' axis (unchunked)
+
+    Returns
+    -------
+    BatchedPosterior with leading dimension B
+    """
+    frozen = kernel.clone()
+    lml = make_lml_fn(kernel, center, disp, df, scale, nugget)
+    X = jnp.atleast_2d(jnp.asarray(X))
+    y2 = jnp.asarray(y)
+    if y2.ndim == 1:
+        y2 = y2[:, None]
+    basis_c = _resolve_basis(basis, X)
+    c0 = np.atleast_1d(center)
+    V0 = np.atleast_2d(disp)
+    thetas = jnp.atleast_2d(jnp.asarray(thetas, dtype=X.dtype))
+    N = X.shape[0]
+
+    def one(theta):
+        R = frozen.value_fn(theta, X, None)
+        L = jnp.linalg.cholesky(R + nugget * jnp.eye(N, dtype=R.dtype))
+        center_ = _conj.compute_center(y2, L, basis_c, c0, V0)
+        disp_ = _conj.compute_disp(y2, L, basis_c, V0)
+        df_ = _conj.compute_df(y2, df)
+        scale_sq = _conj.compute_scale_sq(y2, L, basis_c, c0, V0, df, scale)
+        cov_factor = _conj.compute_cov_factor(scale_sq, df_)
+        return BatchedPosterior(
+            theta=theta, lml=lml(theta, X, y2, basis_c), center=center_,
+            disp=disp_, df=jnp.asarray(df_, dtype=R.dtype),
+            scale_sq=scale_sq, cov_factor=cov_factor, chol=L)
+
+    if mesh is not None:
+        fn = jax.jit(jax.vmap(one),
+                     in_shardings=NamedSharding(mesh, P('batch')))
+        return fn(jax.device_put(thetas, NamedSharding(mesh, P('batch'))))
+
+    fn = jax.jit(jax.vmap(one))
+    B = thetas.shape[0]
+    if chunk is None or B <= chunk:
+        return fn(thetas)
+    parts = [fn(thetas[i:i + chunk]) for i in range(0, B, chunk)]
+    return jax.tree_util.tree_map(
+        lambda *xs: jnp.concatenate(xs, axis=0), *parts)

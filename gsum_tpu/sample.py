@@ -35,7 +35,7 @@ import jax.numpy as jnp
 from .optimize import _to_bounded, _to_unbounded
 
 __all__ = ['hmc', 'sample_theta_posterior', 'sample_truncation_posterior',
-           'split_rhat', 'effective_sample_size']
+           'posterior_predictive', 'split_rhat', 'effective_sample_size']
 
 
 def _log_jac_bounded(z, lo, hi):
@@ -412,6 +412,103 @@ def sample_theta_posterior(gp, X=None, y=None, n_chains=4, n_samples=1000,
         np.asarray(kernel.theta, dtype=float), n_chains, n_samples,
         n_warmup, n_leapfrog, init_step_size, target_accept, random_state,
         extra_log_prior=extra_log_prior, steps_per_call=steps_per_call)
+
+
+def posterior_predictive(gp, Xnew, thetas, X=None, y=None, thin=1,
+                         chunk=128, return_draws=False):
+    R"""Full-Bayes predictive at ``Xnew``: the mixture over hyperparameter
+    posterior draws, completing :func:`sample_theta_posterior`.
+
+    The reference (and this library's ``predict``) conditions on ONE
+    kernel — the MAP fit.  Given posterior draws ``thetas`` (from
+    :func:`sample_theta_posterior`, or any (B, n_dims) log-θ array such as
+    quadrature nodes), this computes each draw's conjugate posterior state
+    and predictive moments in device batches
+    (:func:`gsum_tpu.parallel.batched_posterior_at` →
+    :func:`gsum_tpu.parallel.batched_predict`) and mixes them exactly by
+    the law of total variance:
+
+    .. math::
+        m(x) = E_\theta[m_\theta(x)], \qquad
+        s^2(x) = E_\theta[s_\theta^2(x) + m_\theta(x)^2] - m(x)^2.
+
+    The mixture moments are exact; treating the band as Gaussian at
+    ``m ± z s`` is the usual approximation (the exact mixture is available
+    from the per-draw moments via ``return_draws=True``).
+
+    Parameters
+    ----------
+    gp : fitted ConjugateGaussianProcess (``decomposition='cholesky'``;
+        the Student process's extra basis-dispersion predictive term is
+        not in the batched predict path — pass its draws through the
+        class ``predict`` instead)
+    Xnew : (N_new, d) prediction points
+    thetas : (B, n_dims) or (n_chains, n_samples, n_dims) log-space draws
+    X, y : optional training-data override (default: the fitted data)
+    thin : keep every ``thin``-th draw (HMC draws are autocorrelated;
+        the mixture converges at the effective sample size anyway)
+    chunk : draws per device call (see :func:`batched_posterior_at`)
+    return_draws : also return the per-draw ``(means, stds)`` arrays
+
+    Returns
+    -------
+    (mean, std) arrays of shape (N_new, m) — or
+    (mean, std, means_draws, stds_draws) with ``return_draws=True``.
+    """
+    from .models import ConjugateGaussianProcess as _CGP
+    from .parallel import batched_posterior_at, batched_predict
+
+    if type(gp).__name__ == 'ConjugateStudentProcess' or \
+            not isinstance(gp, _CGP):
+        raise TypeError('posterior_predictive supports the Gaussian '
+                        'conjugate process; for other models mix the '
+                        'per-draw class predict calls')
+    if getattr(gp, 'decomposition', 'cholesky') != 'cholesky':
+        raise ValueError("posterior_predictive needs decomposition="
+                         "'cholesky'")
+    if X is None and gp.X_train_ is None:
+        raise ValueError('pass X/y or fit the model first')
+    if X is None and getattr(gp, 'dorders_', None) is not None:
+        raise ValueError('derivative training data is not supported in '
+                         'the batched predictive path')
+
+    thetas = np.asarray(thetas, dtype=float)
+    if thetas.ndim == 3:
+        thetas = thetas.reshape(-1, thetas.shape[-1])
+    thetas = thetas[::max(int(thin), 1)]
+
+    X_arr = jnp.atleast_2d(jnp.asarray(gp.X_train_ if X is None else X))
+    y_arr = jnp.asarray(gp.y_train_ if y is None else y)
+    y2 = y_arr[:, None] if y_arr.ndim == 1 else y_arr
+
+    kernel = gp._kernel_for_lml()
+    Xn = jnp.atleast_2d(jnp.asarray(Xnew))
+    B = thetas.shape[0]
+    step = int(chunk) if chunk else B
+    # chunk the predict pass too (the tunneled TPU worker kills overlong
+    # single executions); at most two program shapes compile per pass
+    means_parts, stds_parts = [], []
+    for i in range(0, B, step):
+        t_i = thetas[i:i + step]
+        post = batched_posterior_at(
+            kernel, X_arr, y2, t_i, center=gp.center0, disp=gp.disp0,
+            df=gp.df0, scale=gp.scale0, nugget=gp.nugget, basis=gp.basis,
+            chunk=None)
+        y_b = jnp.broadcast_to(y2, (t_i.shape[0],) + y2.shape)
+        m_i, s_i = batched_predict(kernel, post, X_arr, y_b, Xn,
+                                   basis=gp.basis)
+        means_parts.append(m_i)
+        stds_parts.append(s_i)
+    means = jnp.concatenate(means_parts, axis=0)
+    stds = jnp.concatenate(stds_parts, axis=0)
+
+    mean_mix = jnp.mean(means, axis=0)                     # (N_new, m)
+    var_mix = jnp.mean(stds[:, :, None] ** 2 + means ** 2,
+                       axis=0) - mean_mix ** 2
+    std_mix = jnp.sqrt(jnp.clip(var_mix, 0.0))
+    if return_draws:
+        return mean_mix, std_mix, means, stds
+    return mean_mix, std_mix
 
 
 def sample_truncation_posterior(tgp, ratio_param, q_bounds, q0=None,

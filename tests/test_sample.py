@@ -220,3 +220,106 @@ def test_sample_truncation_posterior_validation():
                           optimizer=None)
     with pytest.raises(ValueError, match='fit'):
         gm.sample_truncation_posterior(tgp, 'lam', (0.5, 2.0))
+
+
+# ---------------------------------------------------------------------------
+# posterior_predictive / batched_posterior_at
+
+
+def test_batched_posterior_at_matches_class_path():
+    """States at given thetas must equal a class fit at that fixed kernel
+    (optimizer=None), field by field, and the lml must match the class lml."""
+    from gsum_tpu.parallel import batched_posterior_at
+
+    gp = _fit_gp()
+    X, y = np.asarray(gp.X_train_), np.asarray(gp.y_train_)
+    thetas = np.log([[0.2], [0.3], [0.55]])
+    post = batched_posterior_at(gp.kernel_, X, y, thetas, center=gp.center0,
+                                disp=gp.disp0, df=gp.df0, scale=gp.scale0,
+                                nugget=gp.nugget, basis=gp.basis)
+    for i, th in enumerate(thetas):
+        gp_i = gm.ConjugateGaussianProcess(
+            kernel=gm.RBF(float(np.exp(th[0])), (0.05, 2.0)), center=0,
+            disp=0, df=3, scale=1, nugget=1e-8, optimizer=None)
+        gp_i.fit(X, y)
+        np.testing.assert_allclose(post.center[i], gp_i.center_, rtol=1e-10)
+        np.testing.assert_allclose(post.disp[i], gp_i.disp_, rtol=1e-10,
+                                   atol=1e-12)
+        np.testing.assert_allclose(float(post.df[i]), float(gp_i.df_))
+        np.testing.assert_allclose(np.sqrt(post.scale_sq[i]), gp_i.scale_,
+                                   rtol=1e-10)
+        np.testing.assert_allclose(post.cov_factor[i], gp_i.cov_factor_,
+                                   rtol=1e-10)
+        np.testing.assert_allclose(post.lml[i],
+                                   gp.log_marginal_likelihood(th),
+                                   rtol=1e-10)
+
+
+def test_batched_posterior_at_chunking_invariance():
+    from gsum_tpu.parallel import batched_posterior_at
+
+    gp = _fit_gp()
+    X, y = np.asarray(gp.X_train_), np.asarray(gp.y_train_)
+    thetas = np.log(np.linspace(0.1, 0.6, 7))[:, None]
+    a = batched_posterior_at(gp.kernel_, X, y, thetas, df=3, nugget=1e-8,
+                             chunk=3)
+    b = batched_posterior_at(gp.kernel_, X, y, thetas, df=3, nugget=1e-8,
+                             chunk=None)
+    np.testing.assert_allclose(np.asarray(a.lml), np.asarray(b.lml),
+                               rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(a.chol), np.asarray(b.chol),
+                               rtol=1e-12)
+
+
+def test_posterior_predictive_degenerate_mixture_is_class_predict():
+    """All draws at the fitted theta -> the mixture must equal the class
+    predict exactly (the mixture of identical components)."""
+    gp = _fit_gp()
+    Xnew = np.linspace(-0.1, 1.1, 17)[:, None]
+    thetas = np.tile(np.asarray(gp.kernel_.theta), (5, 1))
+    mean, std = gm.posterior_predictive(gp, Xnew, thetas)
+    m_ref, s_ref = gp.predict(Xnew, return_std=True)
+    np.testing.assert_allclose(np.asarray(mean), np.asarray(m_ref),
+                               rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(
+        np.asarray(std), np.broadcast_to(np.asarray(s_ref)[:, None],
+                                         np.asarray(std).shape),
+        rtol=1e-6, atol=1e-10)
+
+
+def test_posterior_predictive_mixture_law():
+    """Two distinct draws -> exact law-of-total-variance mixing of the two
+    class predicts, chains-shaped input and thinning handled."""
+    gp = _fit_gp()
+    X, y = np.asarray(gp.X_train_), np.asarray(gp.y_train_)
+    Xnew = np.linspace(0.05, 0.95, 9)[:, None]
+    th_a, th_b = np.log(0.2), np.log(0.45)
+    # chains-shaped (2, 2, 1) with thin=2 keeps draws [0, 2] = [a, a?]...
+    # build it so the kept draws are exactly [a, b]
+    chains = np.array([[[th_a], [th_a]], [[th_b], [th_b]]])
+    mean, std, means_d, stds_d = gm.posterior_predictive(
+        gp, Xnew, chains, thin=2, return_draws=True)
+    assert means_d.shape[0] == 2
+
+    parts = []
+    for th in (th_a, th_b):
+        gp_i = gm.ConjugateGaussianProcess(
+            kernel=gm.RBF(float(np.exp(th)), (0.05, 2.0)), center=0, disp=0,
+            df=3, scale=1, nugget=1e-8, optimizer=None)
+        gp_i.fit(X, y)
+        parts.append(gp_i.predict(Xnew, return_std=True))
+    m_mix = 0.5 * (np.asarray(parts[0][0]) + np.asarray(parts[1][0]))
+    var_mix = 0.5 * sum(np.asarray(s)[:, None] ** 2 + np.asarray(m) ** 2
+                        for m, s in parts) - m_mix ** 2
+    np.testing.assert_allclose(np.asarray(mean), m_mix, rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(std), np.sqrt(var_mix),
+                               rtol=1e-6, atol=1e-10)
+
+
+def test_posterior_predictive_validation():
+    gp = gm.ConjugateGaussianProcess(kernel=gm.RBF(0.3, (0.05, 2.0)))
+    with pytest.raises(ValueError, match='fit'):
+        gm.posterior_predictive(gp, np.zeros((3, 1)), np.zeros((2, 1)))
+    csp = gm.ConjugateStudentProcess(kernel=gm.RBF(0.3, (0.05, 2.0)))
+    with pytest.raises(TypeError, match='Gaussian'):
+        gm.posterior_predictive(csp, np.zeros((3, 1)), np.zeros((2, 1)))
