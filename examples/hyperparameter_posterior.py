@@ -117,21 +117,22 @@ def main():
     p_ls_log = np.trapezoid(post, lam_grid, axis=1)
     p_ls_log /= np.trapezoid(p_ls_log, th_grid)
 
-    # ---- full-Bayes predictive: mix the predictive over theta draws ----
-    # The MAP band conditions on one length scale; posterior_predictive
-    # mixes the per-draw conjugate predictives (device-batched) by the law
-    # of total variance, so hyperparameter uncertainty widens the band.
-    cp = tgp.coeffs_process
-    th_draws, _ = gm.sample_theta_posterior(
-        cp, n_chains=2, n_samples=400, n_warmup=300, random_state=1)
+    # ---- full-Bayes truncation band: mix the band over the joint draws --
+    # The fixed-point band conditions on one (ls, Lambda_b); the posterior
+    # predictive re-extracts coefficients and recomputes the conjugate
+    # posterior at EVERY draw (device-batched) and mixes the bands by the
+    # law of total variance, so hyperparameter + breakdown-scale
+    # uncertainty is inside the band.
+    k_fit = orders.max()
     Xf = np.linspace(float(X.min()), float(X.max()), 60)[:, None]
     t0 = time.perf_counter()
-    mean_fb, std_fb = gm.posterior_predictive(cp, Xf, th_draws, thin=4)
+    mean_fb, std_fb = gm.truncation_posterior_predictive(
+        tgp, Xf, k_fit, samples, ratio_param='lam', thin=4)
     mean_fb, std_fb = np.asarray(mean_fb), np.asarray(std_fb)
     print('posterior predictive: %d draws mixed in %.1f s'
-          % (np.asarray(th_draws).reshape(-1, 1)[::4].shape[0],
-             time.perf_counter() - t0))
-    m_map, s_map = cp.predict(Xf, return_std=True)
+          % (s[::4].shape[0], time.perf_counter() - t0))
+    m_map, s_map = tgp.predict(Xf, order=k_fit, kind='trunc',
+                               return_std=True)
     m_map, s_map = np.asarray(m_map), np.asarray(s_map)
 
     fig, axes = plt.subplots(1, 4, figsize=(15.5, 3.4))
@@ -153,20 +154,15 @@ def main():
     axes[2].set_xlabel(r'$\log$ length scale')
     axes[2].legend()
 
-    # coefficient c_2 with MAP-conditioned vs full-Bayes bands
+    # truncation-error band y_inf - y_k: fixed-point vs full-Bayes
     xf = Xf[:, 0]
-    ci = 1  # second extracted coefficient column
-    axes[3].plot(np.asarray(X)[:, 0], np.asarray(cp.y_train_)[:, ci], 'k.',
-                 ms=4, label='data')
-    axes[3].plot(xf, m_map[:, ci], 'C0-', lw=1)
-    axes[3].fill_between(xf, m_map[:, ci] - 2 * s_map,
-                         m_map[:, ci] + 2 * s_map, color='C0', alpha=0.25,
-                         label='MAP-conditioned')
-    axes[3].fill_between(xf, mean_fb[:, ci] - 2 * std_fb[:, ci],
-                         mean_fb[:, ci] + 2 * std_fb[:, ci], color='C3',
-                         alpha=0.2, label='full Bayes')
-    axes[3].set_xlabel('x')
-    axes[3].set_title('coefficient band: MAP vs mixed')
+    axes[3].plot(xf, m_map, 'C0-', lw=1)
+    axes[3].fill_between(xf, m_map - 2 * s_map, m_map + 2 * s_map,
+                         color='C0', alpha=0.25, label='fixed (ls, $\\Lambda_b$)')
+    axes[3].fill_between(xf, mean_fb - 2 * std_fb, mean_fb + 2 * std_fb,
+                         color='C3', alpha=0.2, label='full Bayes')
+    axes[3].set_xlabel(r'$E/E_{\max}$')
+    axes[3].set_title(r'truncation band $y_\infty - y_%d$' % k_fit)
     axes[3].legend(fontsize=7)
 
     fig.tight_layout()

@@ -56,7 +56,8 @@ from .pdfmeta import add_pdf_metadata, get_pdf_metadata
 from .derivs import deriv_cov, deriv_mean, kernel_deriv_cov
 
 from .sample import (hmc, posterior_predictive, sample_theta_posterior,
-                     sample_truncation_posterior)
+                     sample_truncation_posterior,
+                     truncation_posterior_predictive)
 
 from . import derivs
 from . import sample

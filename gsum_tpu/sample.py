@@ -35,7 +35,8 @@ import jax.numpy as jnp
 from .optimize import _to_bounded, _to_unbounded
 
 __all__ = ['hmc', 'sample_theta_posterior', 'sample_truncation_posterior',
-           'posterior_predictive', 'split_rhat', 'effective_sample_size']
+           'posterior_predictive', 'truncation_posterior_predictive',
+           'split_rhat', 'effective_sample_size']
 
 
 def _log_jac_bounded(z, lo, hi):
@@ -505,6 +506,135 @@ def posterior_predictive(gp, Xnew, thetas, X=None, y=None, thin=1,
     mean_mix = jnp.mean(means, axis=0)                     # (N_new, m)
     var_mix = jnp.mean(stds[:, :, None] ** 2 + means ** 2,
                        axis=0) - mean_mix ** 2
+    std_mix = jnp.sqrt(jnp.clip(var_mix, 0.0))
+    if return_draws:
+        return mean_mix, std_mix, means, stds
+    return mean_mix, std_mix
+
+
+def truncation_posterior_predictive(tgp, Xnew, order, draws, ratio_param,
+                                    thin=1, chunk=128, return_draws=False):
+    R"""Full-Bayes truncation-error band at ``Xnew``: the mixture of the
+    per-draw bands over joint (θ, q) posterior draws — the physics
+    deliverable of :func:`sample_truncation_posterior`.
+
+    The reference reports truncation bands conditioned on ONE (θ, Λ_b)
+    point (the MAP or a grid summary).  Here every draw gets its own
+    band: coefficients are re-extracted at the draw's expansion parameter
+    (``c_n = Δy_n/(ref·ratio^n)``, reference helpers.py:71-101), the
+    conjugate posterior is recomputed at the draw's θ, and the truncation
+    prior band ``ref·Σ_{n>k} ratio^n`` scales it (the ``kind='trunc'``
+    branch of ``TruncationProcess.predict``, reference models.py:1474-1477)
+    — all as ONE vmapped device program per chunk, then mixed exactly by
+    the law of total variance.
+
+    Scope: the unconstrained Gaussian case — TruncationGP without
+    ``dX/dy`` constraint data (the constrained branch's jitter-ladder
+    solves and the Student process's basis-dispersion term stay on the
+    per-draw class path).
+
+    Parameters
+    ----------
+    tgp : fitted TruncationGP whose ``ratio`` callable takes the keyword
+        ``ratio_param`` (jnp-traceable in it) — the same contract as
+        :func:`sample_truncation_posterior`
+    Xnew : (N_new, d) prediction points
+    order : highest order included in the partial sum; the band is for
+        ``y_inf - y_order``
+    draws : (B, n_theta + 1) or (n_chains, n_samples, n_theta + 1) with
+        q in the LAST column — the layout
+        :func:`sample_truncation_posterior` returns
+    ratio_param : keyword of ``tgp.ratio`` the q column feeds
+    thin, chunk, return_draws : as in :func:`posterior_predictive`
+
+    Returns
+    -------
+    (mean, std) arrays of shape (N_new,) — or
+    (mean, std, means_draws, stds_draws) with ``return_draws=True``.
+    """
+    from . import conjugate as _conj
+    from .helpers import coefficients, geometric_sum
+    from .models import ConjugateGaussianProcess as _CGP
+
+    if not getattr(tgp, '_fit', False):
+        raise ValueError('fit the truncation process first')
+    cp = tgp.coeffs_process
+    if type(cp).__name__ == 'ConjugateStudentProcess' or \
+            not isinstance(cp, _CGP):
+        raise TypeError('truncation_posterior_predictive supports '
+                        'TruncationGP (Gaussian coefficient process)')
+    if tgp.dX_ is not None:
+        raise ValueError('constrained truncation (dX/dy) is not supported '
+                         'in the batched predictive path — mix per-draw '
+                         'class predict calls instead')
+
+    draws = np.asarray(draws, dtype=float)
+    if draws.ndim == 3:
+        draws = draws.reshape(-1, draws.shape[-1])
+    draws = draws[::max(int(thin), 1)]
+    n_t = draws.shape[1] - 1
+
+    kernel = cp._kernel_for_lml()
+    if kernel.n_dims != n_t:
+        raise ValueError('draws have %d theta columns, kernel has %d '
+                         'free dimensions' % (n_t, kernel.n_dims))
+    frozen = kernel.clone()
+    X_tr = jnp.atleast_2d(jnp.asarray(tgp.X_train_))
+    Xn = jnp.atleast_2d(jnp.asarray(Xnew))
+    y_tr = jnp.asarray(tgp.y_train_)
+    orders = np.asarray(tgp.orders_)
+    mask = ~np.isin(orders, tgp.excluded)
+    basis_tr = jnp.asarray(cp.basis(X_tr))
+    basis_n = jnp.asarray(cp.basis(Xn))
+    c0 = np.atleast_1d(cp.center0)
+    V0 = np.atleast_2d(cp.disp0)
+    df0, scale0, nugget = cp.df0, cp.scale0, cp.nugget
+    N = X_tr.shape[0]
+    ref_tr = jnp.asarray(tgp.ref(X_tr))
+    ref_n = jnp.asarray(tgp.ref(Xn))
+    start = int(order) + 1
+    excluded = tgp.excluded
+
+    def one(theta, q):
+        kws = {ratio_param: q}
+        ratio_tr = tgp.ratio(X_tr, **kws)
+        coeffs = coefficients(y=y_tr, ratio=ratio_tr, ref=ref_tr,
+                              orders=orders)[:, mask]
+        R = frozen.value_fn(theta, X_tr, None)
+        L = jnp.linalg.cholesky(R + nugget * jnp.eye(N, dtype=R.dtype))
+        center = _conj.compute_center(coeffs, L, basis_tr, c0, V0)
+        df_ = _conj.compute_df(coeffs, df0)
+        scale_sq = _conj.compute_scale_sq(coeffs, L, basis_tr, c0, V0,
+                                          df0, scale0)
+        cov_factor = _conj.compute_cov_factor(scale_sq, df_)
+
+        ratio_n = tgp.ratio(Xn, **kws)
+        gs_mean = geometric_sum(x=ratio_n, start=start, end=np.inf,
+                                excluded=excluded)
+        m = ref_n * gs_mean * (basis_n @ center)
+        gs_var = geometric_sum(x=ratio_n * ratio_n, start=start, end=np.inf,
+                               excluded=excluded)
+        # Xn, Xn (not None): the class trunc band evaluates kernel_(X, X),
+        # which for e.g. WhiteKernel components differs from kernel_(X)
+        # (models.py:301-303) — keep the diagonal identical
+        R_nn_diag = jnp.diagonal(frozen.value_fn(theta, Xn, Xn))
+        var = ref_n ** 2 * gs_var * cov_factor * R_nn_diag
+        return m, jnp.sqrt(jnp.clip(var, 0.0))
+
+    fn = jax.jit(jax.vmap(one))
+    B = draws.shape[0]
+    step = int(chunk) if chunk else B
+    means_parts, stds_parts = [], []
+    for i in range(0, B, step):
+        d_i = jnp.asarray(draws[i:i + step], dtype=X_tr.dtype)
+        m_i, s_i = fn(d_i[:, :n_t], d_i[:, n_t])
+        means_parts.append(m_i)
+        stds_parts.append(s_i)
+    means = jnp.concatenate(means_parts, axis=0)       # (B, N_new)
+    stds = jnp.concatenate(stds_parts, axis=0)
+
+    mean_mix = jnp.mean(means, axis=0)
+    var_mix = jnp.mean(stds ** 2 + means ** 2, axis=0) - mean_mix ** 2
     std_mix = jnp.sqrt(jnp.clip(var_mix, 0.0))
     if return_draws:
         return mean_mix, std_mix, means, stds

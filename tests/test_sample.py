@@ -323,3 +323,82 @@ def test_posterior_predictive_validation():
     csp = gm.ConjugateStudentProcess(kernel=gm.RBF(0.3, (0.05, 2.0)))
     with pytest.raises(TypeError, match='Gaussian'):
         gm.posterior_predictive(csp, np.zeros((3, 1)), np.zeros((2, 1)))
+
+
+def _fit_tgp_lam():
+    X = np.linspace(0, 1, 15)[:, None]
+    x = X[:, 0]
+    orders = np.arange(4)
+    cn = np.column_stack([np.sin(3 * x), np.cos(5 * x), np.sin(7 * x + 1),
+                          np.cos(2 * x + 2)])
+    yn = np.asarray(gm.partials(cn, ratio=0.5))
+
+    def ratio_fn(X_, lam=1.0):
+        return jnp.full(X_.shape[0], 0.5 / lam)
+
+    tgp = gm.TruncationGP(kernel=gm.RBF(0.4, (0.1, 2.0)), ref=2.5,
+                          ratio=ratio_fn, disp=0, df=3, scale=1,
+                          nugget=1e-8, optimizer=None)
+    tgp.fit(X, yn, orders=orders)
+    return tgp, X, yn, orders
+
+
+def test_truncation_posterior_predictive_matches_class_per_draw():
+    """Each (theta, q) draw's band must equal the class predict of a
+    truncation model refitted at that fixed kernel and ratio, and the
+    mixture must obey the law of total variance over the draws."""
+    tgp, X, yn, orders = _fit_tgp_lam()
+    Xnew = np.linspace(0.1, 0.9, 11)[:, None]
+    order = 3
+    draws = np.array([[np.log(0.3), 0.8], [np.log(0.5), 1.4]])
+    mean, std, means_d, stds_d = gm.truncation_posterior_predictive(
+        tgp, Xnew, order, draws, ratio_param='lam', return_draws=True)
+
+    parts = []
+    for th, lam in draws:
+        tgp_i = gm.TruncationGP(
+            kernel=gm.RBF(float(np.exp(th)), (0.1, 2.0)), ref=2.5,
+            ratio=lambda X_, lam=lam: jnp.full(X_.shape[0], 0.5 / lam),
+            disp=0, df=3, scale=1, nugget=1e-8, optimizer=None)
+        tgp_i.fit(X, yn, orders=orders)
+        m_i, s_i = tgp_i.predict(Xnew, order=order, kind='trunc',
+                                 return_std=True)
+        parts.append((np.asarray(m_i), np.asarray(s_i)))
+    for i, (m_i, s_i) in enumerate(parts):
+        np.testing.assert_allclose(np.asarray(means_d[i]), m_i, rtol=1e-8,
+                                   atol=1e-12)
+        np.testing.assert_allclose(np.asarray(stds_d[i]), s_i, rtol=1e-8)
+
+    m_mix = 0.5 * (parts[0][0] + parts[1][0])
+    var_mix = 0.5 * sum(s ** 2 + m ** 2 for m, s in parts) - m_mix ** 2
+    np.testing.assert_allclose(np.asarray(mean), m_mix, rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(std), np.sqrt(var_mix), rtol=1e-7)
+
+
+def test_truncation_posterior_predictive_chunking_and_shapes():
+    tgp, X, yn, orders = _fit_tgp_lam()
+    Xnew = np.linspace(0.1, 0.9, 7)[:, None]
+    rng = np.random.RandomState(0)
+    # chains-shaped draws (2, 3, 2)
+    draws = np.stack([np.column_stack([np.log(0.3 + 0.1 * rng.rand(3)),
+                                       0.8 + 0.4 * rng.rand(3)])
+                      for _ in range(2)])
+    a = gm.truncation_posterior_predictive(tgp, Xnew, 3, draws, 'lam',
+                                           chunk=2)
+    b = gm.truncation_posterior_predictive(tgp, Xnew, 3, draws, 'lam',
+                                           chunk=None)
+    np.testing.assert_allclose(np.asarray(a[0]), np.asarray(b[0]),
+                               rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(a[1]), np.asarray(b[1]),
+                               rtol=1e-12)
+    assert np.asarray(a[0]).shape == (7,)
+
+
+def test_truncation_posterior_predictive_validation():
+    tgp, X, yn, orders = _fit_tgp_lam()
+    with pytest.raises(ValueError, match='theta columns'):
+        gm.truncation_posterior_predictive(tgp, X, 3, np.zeros((2, 3)),
+                                           'lam')
+    un = gm.TruncationGP(kernel=gm.RBF(0.4, (0.1, 2.0)), optimizer=None)
+    with pytest.raises(ValueError, match='fit'):
+        gm.truncation_posterior_predictive(un, X, 3, np.zeros((2, 2)), 'lam')
