@@ -778,6 +778,10 @@ def batched_predict(kernel, post, X, y_batch, Xnew, mesh=None, basis=None):
     evaluated at both X and Xnew; it must match the basis the posterior was
     fitted with.
 
+    ``mesh``: optional Mesh — shard the batch of fits over the 'batch'
+    axis (states and data placed with a batch NamedSharding; X/Xnew stay
+    replicated).
+
     Returns
     -------
     (means, stds): ((B, N_new, m), (B, N_new)) arrays
@@ -810,8 +814,14 @@ def batched_predict(kernel, post, X, y_batch, Xnew, mesh=None, basis=None):
         return m_pred, std
 
     fn = jax.vmap(one)
-    fn = jax.jit(fn)
-    return fn(post.theta, post.chol, post.center, post.cov_factor, y_batch)
+    args = (post.theta, post.chol, post.center, post.cov_factor, y_batch)
+    if mesh is not None:
+        sh = NamedSharding(mesh, P('batch'))
+        args = tuple(jax.device_put(a, sh) for a in args)
+        fn = jax.jit(fn, in_shardings=(sh,) * 5)
+    else:
+        fn = jax.jit(fn)
+    return fn(*args)
 
 
 def batched_posterior_at(kernel, X, y, thetas, center=0, disp=0, df=1,

@@ -599,3 +599,25 @@ def test_scalar_chunk_cap():
     assert _scalar_chunk_cap(1024, 10, jnp.float32) >= 4
     # never zero
     assert _scalar_chunk_cap(16384, 10, jnp.float64) == 1
+
+
+def test_batched_predict_and_posterior_at_sharded():
+    """mesh= on batched_predict / batched_posterior_at must shard the draw
+    batch over the 'batch' axis without changing any value."""
+    from gsum_tpu.parallel import batched_posterior_at, batched_predict
+
+    mesh = make_mesh(n_batch=len(jax.devices()), n_model=1)
+    kernel = gm.RBF(1.0, (1e-2, 1e2))
+    thetas = np.log(np.linspace(0.5, 2.0, 8))[:, None]
+    post_s = batched_posterior_at(kernel, X, y, thetas, df=3, nugget=1e-8,
+                                  mesh=mesh)
+    post_l = batched_posterior_at(kernel, X, y, thetas, df=3, nugget=1e-8)
+    np.testing.assert_allclose(np.asarray(post_s.lml),
+                               np.asarray(post_l.lml), rtol=1e-12)
+
+    Xnew = np.linspace(0.1, 0.9, 5)[:, None]
+    y_b = np.broadcast_to(np.asarray(y)[None, :, None], (8, len(y), 1))
+    m_s, s_s = batched_predict(kernel, post_s, X, y_b, Xnew, mesh=mesh)
+    m_l, s_l = batched_predict(kernel, post_l, X, y_b, Xnew)
+    np.testing.assert_allclose(np.asarray(m_s), np.asarray(m_l), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(s_s), np.asarray(s_l), rtol=1e-12)
