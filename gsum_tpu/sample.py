@@ -614,10 +614,12 @@ def truncation_posterior_predictive(tgp, Xnew, order, draws, ratio_param,
         m = ref_n * gs_mean * (basis_n @ center)
         gs_var = geometric_sum(x=ratio_n * ratio_n, start=start, end=np.inf,
                                excluded=excluded)
-        # Xn, Xn (not None): the class trunc band evaluates kernel_(X, X),
-        # which for e.g. WhiteKernel components differs from kernel_(X)
-        # (models.py:301-303) — keep the diagonal identical
-        R_nn_diag = jnp.diagonal(frozen.value_fn(theta, Xn, Xn))
+        # per-point (x, x) kernel values, NOT diagonal(value_fn(Xn)): the
+        # class trunc band evaluates kernel_(X, X), which for e.g.
+        # WhiteKernel components differs from kernel_(X) (models.py:301-303)
+        # — and the scalar form avoids a (B, N_new, N_new) intermediate
+        R_nn_diag = jax.vmap(
+            lambda x: frozen.value_fn(theta, x[None, :], x[None, :])[0, 0])(Xn)
         var = ref_n ** 2 * gs_var * cov_factor * R_nn_diag
         return m, jnp.sqrt(jnp.clip(var, 0.0))
 
