@@ -768,11 +768,18 @@ def pointwise_evidence_grid(y, orders, ratios, ref=1, df=1, scale=1,
     return cached(ratios, y, ref_vec)
 
 
-def batched_predict(kernel, post, X, y_batch, Xnew, mesh=None, basis=None):
+def batched_predict(kernel, post, X, y_batch, Xnew, mesh=None, basis=None,
+                    student=False):
     R"""Predictive means/stds at ``Xnew`` for every fit in a BatchedPosterior.
 
     The vmapped analog of ``ConjugateGaussianProcess.predict``
     (reference models.py:751-845) given the state from :func:`batched_fit`.
+
+    ``student=True`` adds the Student process's mean-uncertainty term: the
+    conditional basis ``B_c = B_new - R_no R_oo^{-1} B_old`` contributes
+    ``sqrt(cov_factor * diag(B_c V B_c^T))`` to the returned std with
+    ``V = post.disp`` (exactly ``ConjugateStudentProcess.predict``,
+    reference models.py:1127-1182).
 
     ``basis``: None (constant ones, the reference default) or a callable
     evaluated at both X and Xnew; it must match the basis the posterior was
@@ -800,7 +807,7 @@ def batched_predict(kernel, post, X, y_batch, Xnew, mesh=None, basis=None):
     basis_old_c = _resolve_basis(basis, X)
     basis_new_c = _resolve_basis(basis, Xnew)
 
-    def one(theta, L, center, cov_factor, y2):
+    def one(theta, L, center, cov_factor, disp, y2):
         basis_old = basis_old_c
         basis_new = basis_new_c
         m_old = basis_old @ center
@@ -811,14 +818,23 @@ def batched_predict(kernel, post, X, y_batch, Xnew, mesh=None, basis=None):
         R_nn = frozen.value_fn(theta, Xnew, None)
         R_pred = R_nn - R_on.T @ _cho((L, True), R_on)
         std = jnp.sqrt(jnp.clip(cov_factor * jnp.diagonal(R_pred), 0.0))
+        if student:
+            # mean-uncertainty of the marginalized-mean process, added to
+            # the GP std exactly as the class predict does (models.py:
+            # ConjugateStudentProcess.predict; reference models.py:1171-1181)
+            b_cond = basis_new - R_on.T @ _cho((L, True), basis_old)
+            mu_var = cov_factor * jnp.einsum(
+                'nq,qr,nr->n', b_cond, disp, b_cond)
+            std = std + jnp.sqrt(jnp.clip(mu_var, 0.0))
         return m_pred, std
 
     fn = jax.vmap(one)
-    args = (post.theta, post.chol, post.center, post.cov_factor, y_batch)
+    args = (post.theta, post.chol, post.center, post.cov_factor, post.disp,
+            y_batch)
     if mesh is not None:
         sh = NamedSharding(mesh, P('batch'))
         args = tuple(jax.device_put(a, sh) for a in args)
-        fn = jax.jit(fn, in_shardings=(sh,) * 5)
+        fn = jax.jit(fn, in_shardings=(sh,) * 6)
     else:
         fn = jax.jit(fn)
     return fn(*args)

@@ -439,10 +439,12 @@ def posterior_predictive(gp, Xnew, thetas, X=None, y=None, thin=1,
 
     Parameters
     ----------
-    gp : fitted ConjugateGaussianProcess (``decomposition='cholesky'``;
-        the Student process's extra basis-dispersion predictive term is
-        not in the batched predict path — pass its draws through the
-        class ``predict`` instead)
+    gp : fitted ConjugateGaussianProcess or ConjugateStudentProcess
+        (``decomposition='cholesky'``).  For the Student process each
+        per-draw predictive includes the conditional-basis
+        mean-uncertainty term (``batched_predict(student=True)``), and
+        the per-draw moments are the class ``predict``'s (mean,
+        std-with-mean-term) pair.
     Xnew : (N_new, d) prediction points
     thetas : (B, n_dims) or (n_chains, n_samples, n_dims) log-space draws
     X, y : optional training-data override (default: the fitted data)
@@ -456,14 +458,14 @@ def posterior_predictive(gp, Xnew, thetas, X=None, y=None, thin=1,
     (mean, std) arrays of shape (N_new, m) — or
     (mean, std, means_draws, stds_draws) with ``return_draws=True``.
     """
-    from .models import ConjugateGaussianProcess as _CGP
+    from .models import (ConjugateGaussianProcess as _CGP,
+                         ConjugateStudentProcess as _CSP)
     from .parallel import batched_posterior_at, batched_predict
 
-    if type(gp).__name__ == 'ConjugateStudentProcess' or \
-            not isinstance(gp, _CGP):
-        raise TypeError('posterior_predictive supports the Gaussian '
-                        'conjugate process; for other models mix the '
-                        'per-draw class predict calls')
+    if not isinstance(gp, (_CGP, _CSP)):
+        raise TypeError('posterior_predictive supports the conjugate '
+                        'Gaussian and Student processes')
+    student = isinstance(gp, _CSP)
     if getattr(gp, 'decomposition', 'cholesky') != 'cholesky':
         raise ValueError("posterior_predictive needs decomposition="
                          "'cholesky'")
@@ -497,7 +499,7 @@ def posterior_predictive(gp, Xnew, thetas, X=None, y=None, thin=1,
             chunk=None)
         y_b = jnp.broadcast_to(y2, (t_i.shape[0],) + y2.shape)
         m_i, s_i = batched_predict(kernel, post, X_arr, y_b, Xn,
-                                   basis=gp.basis)
+                                   basis=gp.basis, student=student)
         means_parts.append(m_i)
         stds_parts.append(s_i)
     means = jnp.concatenate(means_parts, axis=0)

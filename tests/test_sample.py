@@ -320,9 +320,33 @@ def test_posterior_predictive_validation():
     gp = gm.ConjugateGaussianProcess(kernel=gm.RBF(0.3, (0.05, 2.0)))
     with pytest.raises(ValueError, match='fit'):
         gm.posterior_predictive(gp, np.zeros((3, 1)), np.zeros((2, 1)))
-    csp = gm.ConjugateStudentProcess(kernel=gm.RBF(0.3, (0.05, 2.0)))
-    with pytest.raises(TypeError, match='Gaussian'):
-        gm.posterior_predictive(csp, np.zeros((3, 1)), np.zeros((2, 1)))
+    with pytest.raises(TypeError, match='conjugate'):
+        gm.posterior_predictive(object(), np.zeros((3, 1)),
+                                np.zeros((2, 1)))
+
+
+def test_posterior_predictive_student_degenerate_is_class_predict():
+    """CSP: all draws at the fitted theta -> the mixture must equal the
+    class predict (which includes the conditional-basis mean-uncertainty
+    term in the std)."""
+    X = np.linspace(0, 1, 12)[:, None]
+    x = X[:, 0]
+    y = np.column_stack([np.sin(3 * x), np.cos(2 * x) - 1, np.sin(5 * x)])
+    csp = gm.ConjugateStudentProcess(kernel=gm.RBF(0.3, (0.05, 2.0)),
+                                     center=0, disp=1.0, df=5, scale=1,
+                                     nugget=1e-8, optimizer=None)
+    csp.fit(X, y)
+    assert float(np.asarray(csp.disp_)) > 0  # the Student term is active
+    Xnew = np.linspace(-0.1, 1.1, 9)[:, None]
+    thetas = np.tile(np.asarray(csp.kernel_.theta), (4, 1))
+    mean, std = gm.posterior_predictive(csp, Xnew, thetas)
+    m_ref, s_ref = csp.predict(Xnew, return_std=True)
+    np.testing.assert_allclose(np.asarray(mean), np.asarray(m_ref),
+                               rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(
+        np.asarray(std), np.broadcast_to(np.asarray(s_ref)[:, None],
+                                         np.asarray(std).shape),
+        rtol=1e-6, atol=1e-10)
 
 
 def _fit_tgp_lam():
