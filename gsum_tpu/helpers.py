@@ -303,45 +303,69 @@ def generate_coefficients(X, size=1, basis=None, corr=None, beta=0, sd=1,
     return mean + z @ L.T
 
 
-def lazy_property(function):
-    R"""Caches a property on first access.  reference: helpers.py:371-386."""
-    attribute = '_cache_' + function.__name__
+_LAZY_UNSET = object()
+
+
+def lazy_property(method):
+    R"""Compute-once read-only property (API parity: reference helpers.py:371-386).
+
+    The first access runs ``method`` and stashes its result on the
+    instance; every later access returns the stash without re-running.
+    """
+    slot = f'_lazy_{method.__name__}'
 
     @property
-    @wraps(function)
-    def decorator(self):
-        if not hasattr(self, attribute):
-            setattr(self, attribute, function(self))
-        return getattr(self, attribute)
+    @wraps(method)
+    def getter(self):
+        value = getattr(self, slot, _LAZY_UNSET)
+        if value is _LAZY_UNSET:
+            value = method(self)
+            setattr(self, slot, value)
+        return value
 
-    return decorator
+    return getter
 
 
-def default_attributes(**kws):
-    R"""Fills ``None`` (or empty *args/**kwargs) parameters from instance attributes.
+def default_attributes(**attr_map):
+    R"""Substitute instance attributes for omitted method arguments.
 
-    reference: helpers.py:416-501.  Pure-Python signature-binding utility.
+    ``@default_attributes(x='x_', y='_y')`` wraps a method so that any
+    mapped parameter left at its "empty" value — ``None`` for ordinary
+    and keyword-only parameters, ``()``/``{}`` for ``*args``/``**kwargs``
+    — is replaced by ``getattr(self, <mapped attribute>)`` at call time.
+    Array-valued arguments are never treated as empty.
+
+    API parity with the reference decorator (helpers.py:416-501); the
+    implementation precomputes each mapped parameter's empty marker at
+    decoration time instead of re-inspecting kinds per call.
     """
-    def decorator(function):
-        sig = inspect.signature(function)
+    def wrap(method):
+        sig = inspect.signature(method)
+        empties = {}
+        for name, attr in attr_map.items():
+            kind = sig.parameters[name].kind
+            if kind is inspect.Parameter.VAR_POSITIONAL:
+                empties[name] = (attr, ())
+            elif kind is inspect.Parameter.VAR_KEYWORD:
+                empties[name] = (attr, {})
+            else:
+                empties[name] = (attr, None)
 
-        @wraps(function)
-        def new_func(self, *args, **kwargs):
-            bound_args = sig.bind(self, *args, **kwargs)
-            bound_args.apply_defaults()
-            for key, value in bound_args.arguments.items():
-                param = sig.parameters[key]
-                if isinstance(value, (np.ndarray, jnp.ndarray)):
+        @wraps(method)
+        def filled(self, *args, **kwargs):
+            bound = sig.bind(self, *args, **kwargs)
+            bound.apply_defaults()
+            for name, (attr, empty) in empties.items():
+                current = bound.arguments.get(name)
+                if isinstance(current, (np.ndarray, jnp.ndarray)):
                     continue
-                default_poskey = value is None and param.kind == param.POSITIONAL_OR_KEYWORD
-                default_key = value is None and param.kind == param.KEYWORD_ONLY
-                default_varpos = value == () and param.kind == param.VAR_POSITIONAL
-                default_varkey = value == {} and param.kind == param.VAR_KEYWORD
-                if (default_poskey or default_key or default_varpos or default_varkey) and key in kws:
-                    bound_args.arguments[key] = getattr(self, kws[key])
-            return function(*bound_args.args, **bound_args.kwargs)
-        return new_func
-    return decorator
+                is_empty = current is None if empty is None else current == empty
+                if is_empty:
+                    bound.arguments[name] = getattr(self, attr)
+            return method(*bound.args, **bound.kwargs)
+
+        return filled
+    return wrap
 
 
 def _fourth_root_corr(rho, corr_factor):
