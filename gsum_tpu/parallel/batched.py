@@ -38,6 +38,17 @@ def _sc_gammaln(x):
     return gammaln(x)
 
 
+def _check_mesh_batch(B, mesh, where):
+    """A batch NamedSharding needs B divisible by the 'batch' axis size —
+    XLA refuses ragged shards.  Fail with the fix instead of a jit error."""
+    n = mesh.shape['batch']
+    if B % n:
+        raise ValueError(
+            f'{where}: batch size {B} is not divisible by the mesh '
+            f"'batch' axis size {n}; pad the batch (e.g. repeat the last "
+            f'row) or drop mesh= to run unsharded')
+
+
 def make_lml_fn(kernel, center=0, disp=0, df=1, scale=1, nugget=1e-10,
                 decomposition='cholesky', chol_fn=None):
     """Pure lml function ``(theta, X, y2d, basis) -> scalar`` for a kernel
@@ -230,6 +241,7 @@ def batched_lml_grid(kernel, X, y, thetas, center=0, disp=0, df=1, scale=1,
     fn = _get_grid_fn(kernel, center, disp, df, scale, nugget, grid_engine,
                       mxu_precision=mxu_precision)
     if mesh is not None:
+        _check_mesh_batch(thetas.shape[0], mesh, 'batched_lml_grid')
         thetas = jax.device_put(thetas, NamedSharding(mesh, P('batch')))
     return fn(thetas, X, y2, basis)
 
@@ -399,6 +411,8 @@ def batched_fit(kernel, X, y_batch, center=0, disp=0, df=1, scale=1,
         starts = theta0[None]
 
     if mesh is not None:
+        _check_mesh_batch(y_batch.shape[0], mesh, 'batched_fit')
+
         def one(y2):
             def from_start(t0):
                 return _fit_one(lml, frozen.value_fn, t0, lower, upper, X, y2,
@@ -764,12 +778,13 @@ def pointwise_evidence_grid(y, orders, ratios, ref=1, df=1, scale=1,
         cached = jax.jit(fn)
         _GRID_FN_CACHE[key] = cached
     if mesh is not None:
+        _check_mesh_batch(ratios.shape[0], mesh, 'pointwise_evidence_grid')
         ratios = jax.device_put(ratios, NamedSharding(mesh, P('batch')))
     return cached(ratios, y, ref_vec)
 
 
 def batched_predict(kernel, post, X, y_batch, Xnew, mesh=None, basis=None,
-                    student=False):
+                    student=False, student_mode='class'):
     R"""Predictive means/stds at ``Xnew`` for every fit in a BatchedPosterior.
 
     The vmapped analog of ``ConjugateGaussianProcess.predict``
@@ -777,9 +792,17 @@ def batched_predict(kernel, post, X, y_batch, Xnew, mesh=None, basis=None,
 
     ``student=True`` adds the Student process's mean-uncertainty term: the
     conditional basis ``B_c = B_new - R_no R_oo^{-1} B_old`` contributes
-    ``sqrt(cov_factor * diag(B_c V B_c^T))`` to the returned std with
-    ``V = post.disp`` (exactly ``ConjugateStudentProcess.predict``,
-    reference models.py:1127-1182).
+    ``mu_var = cov_factor * diag(B_c V B_c^T)`` with ``V = post.disp``.
+    How it enters the returned std is set by ``student_mode``:
+
+    - ``'class'`` (default): ``std = sigma + sqrt(mu_var)`` — the
+      std-addition convention of ``ConjugateStudentProcess.predict``'s
+      return_std path (reference models.py:1127-1182), for parity with
+      the class API.
+    - ``'variance'``: ``std = sqrt(sigma**2 + mu_var)`` — the true
+      per-draw predictive std (variance-additive, matching the class's
+      return_cov path); use this when the stds feed a law-of-total-
+      variance mixture downstream.
 
     ``basis``: None (constant ones, the reference default) or a callable
     evaluated at both X and Xnew; it must match the basis the posterior was
@@ -787,7 +810,7 @@ def batched_predict(kernel, post, X, y_batch, Xnew, mesh=None, basis=None,
 
     ``mesh``: optional Mesh — shard the batch of fits over the 'batch'
     axis (states and data placed with a batch NamedSharding; X/Xnew stay
-    replicated).
+    replicated).  B must be divisible by the mesh's 'batch' axis size.
 
     Returns
     -------
@@ -798,6 +821,8 @@ def batched_predict(kernel, post, X, y_batch, Xnew, mesh=None, basis=None,
     if basis is not None and not callable(basis):
         raise TypeError('batched_predict needs basis=None or a callable '
                         '(it must be evaluated at both X and Xnew)')
+    if student_mode not in ('class', 'variance'):
+        raise ValueError("student_mode must be 'class' or 'variance'")
     frozen = kernel.clone()
     X = jnp.atleast_2d(jnp.asarray(X))
     Xnew = jnp.atleast_2d(jnp.asarray(Xnew))
@@ -819,19 +844,22 @@ def batched_predict(kernel, post, X, y_batch, Xnew, mesh=None, basis=None,
         R_pred = R_nn - R_on.T @ _cho((L, True), R_on)
         std = jnp.sqrt(jnp.clip(cov_factor * jnp.diagonal(R_pred), 0.0))
         if student:
-            # mean-uncertainty of the marginalized-mean process, added to
-            # the GP std exactly as the class predict does (models.py:
-            # ConjugateStudentProcess.predict; reference models.py:1171-1181)
+            # mean-uncertainty of the marginalized-mean process (reference
+            # models.py:1171-1181); entered per student_mode (see docstring)
             b_cond = basis_new - R_on.T @ _cho((L, True), basis_old)
             mu_var = cov_factor * jnp.einsum(
                 'nq,qr,nr->n', b_cond, disp, b_cond)
-            std = std + jnp.sqrt(jnp.clip(mu_var, 0.0))
+            if student_mode == 'variance':
+                std = jnp.sqrt(std ** 2 + jnp.clip(mu_var, 0.0))
+            else:
+                std = std + jnp.sqrt(jnp.clip(mu_var, 0.0))
         return m_pred, std
 
     fn = jax.vmap(one)
     args = (post.theta, post.chol, post.center, post.cov_factor, post.disp,
             y_batch)
     if mesh is not None:
+        _check_mesh_batch(post.theta.shape[0], mesh, 'batched_predict')
         sh = NamedSharding(mesh, P('batch'))
         args = tuple(jax.device_put(a, sh) for a in args)
         fn = jax.jit(fn, in_shardings=(sh,) * 6)
@@ -868,7 +896,9 @@ def batched_posterior_at(kernel, X, y, thetas, center=0, disp=0, df=1,
     chunk : evaluate at most this many draws per device call (the
         tunneled TPU worker here kills overlong executions); one compile
         serves all full chunks
-    mesh : optional Mesh — shard B over the 'batch' axis (unchunked)
+    mesh : optional Mesh — shard B over the 'batch' axis.  The sharded
+        path runs as ONE program: ``chunk`` is bypassed, and B must be
+        divisible by the mesh's 'batch' axis size
 
     Returns
     -------
@@ -900,6 +930,7 @@ def batched_posterior_at(kernel, X, y, thetas, center=0, disp=0, df=1,
             scale_sq=scale_sq, cov_factor=cov_factor, chol=L)
 
     if mesh is not None:
+        _check_mesh_batch(thetas.shape[0], mesh, 'batched_posterior_at')
         fn = jax.jit(jax.vmap(one),
                      in_shardings=NamedSharding(mesh, P('batch')))
         return fn(jax.device_put(thetas, NamedSharding(mesh, P('batch'))))

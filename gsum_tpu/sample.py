@@ -442,9 +442,11 @@ def posterior_predictive(gp, Xnew, thetas, X=None, y=None, thin=1,
     gp : fitted ConjugateGaussianProcess or ConjugateStudentProcess
         (``decomposition='cholesky'``).  For the Student process each
         per-draw predictive includes the conditional-basis
-        mean-uncertainty term (``batched_predict(student=True)``), and
-        the per-draw moments are the class ``predict``'s (mean,
-        std-with-mean-term) pair.
+        mean-uncertainty term, entered variance-additively
+        (``std_draw = sqrt(sigma^2 + mu_var)``, the class
+        ``return_cov`` diagonal) so the law-of-total-variance mixture
+        below is exact; note this differs from the class
+        ``return_std`` convention ``sigma + sqrt(mu_var)``.
     Xnew : (N_new, d) prediction points
     thetas : (B, n_dims) or (n_chains, n_samples, n_dims) log-space draws
     X, y : optional training-data override (default: the fitted data)
@@ -471,6 +473,9 @@ def posterior_predictive(gp, Xnew, thetas, X=None, y=None, thin=1,
                          "'cholesky'")
     if X is None and gp.X_train_ is None:
         raise ValueError('pass X/y or fit the model first')
+    if X is not None and y is None and gp.y_train_ is None:
+        raise ValueError('X was overridden on an unfitted model — pass y '
+                         'as well')
     if X is None and getattr(gp, 'dorders_', None) is not None:
         raise ValueError('derivative training data is not supported in '
                          'the batched predictive path')
@@ -479,6 +484,11 @@ def posterior_predictive(gp, Xnew, thetas, X=None, y=None, thin=1,
     if thetas.ndim == 3:
         thetas = thetas.reshape(-1, thetas.shape[-1])
     thetas = thetas[::max(int(thin), 1)]
+    kernel_chk = gp._kernel_for_lml()
+    if thetas.shape[-1] != kernel_chk.n_dims:
+        raise ValueError('thetas have %d columns but the kernel has %d '
+                         'free dimensions'
+                         % (thetas.shape[-1], kernel_chk.n_dims))
 
     X_arr = jnp.atleast_2d(jnp.asarray(gp.X_train_ if X is None else X))
     y_arr = jnp.asarray(gp.y_train_ if y is None else y)
@@ -498,8 +508,13 @@ def posterior_predictive(gp, Xnew, thetas, X=None, y=None, thin=1,
             df=gp.df0, scale=gp.scale0, nugget=gp.nugget, basis=gp.basis,
             chunk=None)
         y_b = jnp.broadcast_to(y2, (t_i.shape[0],) + y2.shape)
+        # student_mode='variance': the LTV mixture below needs TRUE per-draw
+        # predictive stds (sigma^2 + mu_var), not the class return_std
+        # convention sigma + sqrt(mu_var) — squaring the latter would
+        # inject a spurious 2*sigma*sqrt(mu_var) cross term
         m_i, s_i = batched_predict(kernel, post, X_arr, y_b, Xn,
-                                   basis=gp.basis, student=student)
+                                   basis=gp.basis, student=student,
+                                   student_mode='variance')
         means_parts.append(m_i)
         stds_parts.append(s_i)
     means = jnp.concatenate(means_parts, axis=0)

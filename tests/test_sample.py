@@ -323,12 +323,21 @@ def test_posterior_predictive_validation():
     with pytest.raises(TypeError, match='conjugate'):
         gm.posterior_predictive(object(), np.zeros((3, 1)),
                                 np.zeros((2, 1)))
+    # X override on an unfitted model requires y
+    with pytest.raises(ValueError, match='pass y'):
+        gm.posterior_predictive(gp, np.zeros((3, 1)), np.zeros((2, 1)),
+                                X=np.linspace(0, 1, 5)[:, None])
+    # theta draws must match the kernel's free-dimension count
+    fitted = _fit_gp()
+    with pytest.raises(ValueError, match='free dimensions'):
+        gm.posterior_predictive(fitted, np.zeros((3, 1)), np.zeros((2, 4)))
 
 
 def test_posterior_predictive_student_degenerate_is_class_predict():
     """CSP: all draws at the fitted theta -> the mixture must equal the
-    class predict (which includes the conditional-basis mean-uncertainty
-    term in the std)."""
+    TRUE per-draw predictive std sqrt(sigma^2 + mu_var) — the diagonal of
+    the class return_cov (variance-additive), NOT the return_std
+    convention sigma + sqrt(mu_var)."""
     X = np.linspace(0, 1, 12)[:, None]
     x = X[:, 0]
     y = np.column_stack([np.sin(3 * x), np.cos(2 * x) - 1, np.sin(5 * x)])
@@ -340,13 +349,17 @@ def test_posterior_predictive_student_degenerate_is_class_predict():
     Xnew = np.linspace(-0.1, 1.1, 9)[:, None]
     thetas = np.tile(np.asarray(csp.kernel_.theta), (4, 1))
     mean, std = gm.posterior_predictive(csp, Xnew, thetas)
-    m_ref, s_ref = csp.predict(Xnew, return_std=True)
+    m_ref, cov_ref = csp.predict(Xnew, return_cov=True)
+    s_ref = np.sqrt(np.clip(np.diag(np.asarray(cov_ref)), 0.0, None))
     np.testing.assert_allclose(np.asarray(mean), np.asarray(m_ref),
                                rtol=1e-8, atol=1e-10)
     np.testing.assert_allclose(
-        np.asarray(std), np.broadcast_to(np.asarray(s_ref)[:, None],
+        np.asarray(std), np.broadcast_to(s_ref[:, None],
                                          np.asarray(std).shape),
         rtol=1e-6, atol=1e-10)
+    # the old (incorrect-for-mixing) convention must NOT match
+    _, s_add = csp.predict(Xnew, return_std=True)
+    assert np.max(np.abs(np.asarray(s_add) - s_ref)) > 1e-6
 
 
 def _fit_tgp_lam():
