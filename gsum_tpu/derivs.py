@@ -265,7 +265,10 @@ def max_kernel_deriv_order(kernel):
       form this module evaluates is identically zero, so a ``+ WhiteKernel``
       nugget term simply does not propagate to derivative observations;
     - Matern: ``nu=0.5`` → 0 (the process is not differentiable),
-      ``nu=1.5`` → 1, ``nu=2.5`` → 2, ``nu=inf`` → no limit;
+      ``nu=1.5`` → 1, ``nu=2.5`` → 2, ``nu=inf`` → no limit; any other
+      ``nu`` → 0 (the general-``nu`` Bessel path's coincident-point
+      guard carries only the constant term, so derivative observations
+      would silently read wrong limits — value observations only);
     - ExpSineSquared: 3 (analytic, but the coincident-point Taylor guard
       in ``value_fn`` carries terms to sq³ — exact through total order 6);
     - Sum/Product/Exponentiation: the minimum over operands.
@@ -277,7 +280,7 @@ def max_kernel_deriv_order(kernel):
     from . import kernels as _k
 
     if isinstance(kernel, _k.Matern):
-        return {0.5: 0, 1.5: 1, 2.5: 2, np.inf: np.inf}[kernel.nu]
+        return {0.5: 0, 1.5: 1, 2.5: 2, np.inf: np.inf}.get(kernel.nu, 0)
     if isinstance(kernel, _k.ExpSineSquared):
         return 3
     if isinstance(kernel, _k.Exponentiation):

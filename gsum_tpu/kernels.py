@@ -427,11 +427,142 @@ class RBF(Kernel):
         return 'RBF(length_scale={0:.3g})'.format(np.squeeze(self.length_scale))
 
 
+def _kv_real_order(nu, x, series_iters=34, cf_iters=72):
+    R"""Modified Bessel function of the second kind :math:`K_\nu(x)` for a
+    STATIC real order ``nu > 0`` and a traced array ``x > 0``.
+
+    Temme's method (Temme 1975, J. Comput. Phys. 19; the same scheme
+    scipy's ``kv`` uses): write ``nu = mu + n`` with integer ``n`` and
+    ``|mu| <= 1/2``, evaluate the pair ``(K_mu, K_{mu+1})`` — by Temme's
+    power series for ``x < 2`` and by Steed's continued fraction CF2 for
+    ``x >= 2`` — then run the stable upward recurrence
+    ``K_{s+1} = K_{s-1} + (2s/x) K_s`` the static ``n`` times.
+
+    Everything order-dependent (gamma constants, trip counts, the
+    recurrence depth) is computed on the host from the static ``nu``, so
+    the traced program is pure fixed-trip elementwise arithmetic — both
+    branches are evaluated and selected with ``where`` (guarded so the
+    unselected branch stays finite), which keeps the function jit-able
+    and reverse-differentiable on TPU.
+
+    Accuracy: ~1e-13 relative vs scipy.special.kv in float64 over
+    x in [1e-6, 30], nu in (0, 20] (tests/test_kernels.py).
+    """
+    from scipy.special import rgamma as _rgamma
+
+    if nu <= 0:
+        raise ValueError('_kv_real_order requires nu > 0')
+    n_rec = int(nu + 0.5)
+    mu = float(nu - n_rec)               # |mu| <= 1/2
+    mu2 = mu * mu
+
+    x = jnp.asarray(x)
+    dt = x.dtype
+    # ---- host constants (static in the traced program) ----
+    inv_g1p = float(_rgamma(1.0 + mu))   # 1/Gamma(1+mu)
+    inv_g1m = float(_rgamma(1.0 - mu))   # 1/Gamma(1-mu)
+    if abs(mu) > 1e-6:
+        gam1 = (inv_g1m - inv_g1p) / (2.0 * mu)
+    else:
+        # series limit: 1/Gamma(1+z) = 1 + gamma_E z + O(z^2)
+        gam1 = -float(np.euler_gamma)
+    gam2 = 0.5 * (inv_g1m + inv_g1p)
+    # mu*pi/sin(mu*pi) == 1/sinc(mu) (numpy sinc is sin(pi t)/(pi t))
+    fact = float(1.0 / np.sinc(mu))
+
+    small = x < 2.0
+    # ---------- Temme series branch (x < 2) ----------
+    xs = jnp.where(small, x, jnp.asarray(1.0, dt))   # keep logs/powers finite
+    half = 0.5 * xs
+    dlog = -jnp.log(half)                            # log(2/x)
+    e = mu * dlog
+    tiny = jnp.abs(e) < 1e-5
+    e_safe = jnp.where(tiny, jnp.asarray(1.0, dt), e)
+    sinhc = jnp.where(tiny, 1.0 + e * e / 6.0, jnp.sinh(e_safe) / e_safe)
+    f0 = fact * (gam1 * jnp.cosh(e) + gam2 * sinhc * dlog)
+    ee = jnp.exp(e)
+    p0 = 0.5 * ee / inv_g1p
+    q0 = 0.5 / (ee * inv_g1m)
+    d4 = half * half                                  # x^2/4
+
+    def series_step(carry, i):
+        ff, p, q, c, s0, s1 = carry
+        ff = (i * ff + p + q) / (i * i - mu2)
+        c = c * d4 / i
+        p = p / (i - mu)
+        q = q / (i + mu)
+        s0 = s0 + c * ff
+        s1 = s1 + c * (p - i * ff)
+        return (ff, p, q, c, s0, s1), None
+
+    ivals = jnp.arange(1, series_iters + 1, dtype=dt)
+    ones = jnp.ones_like(xs)
+    (_, _, _, _, s0, s1), _ = jax.lax.scan(
+        series_step, (f0, p0 * ones, q0 * ones, ones, f0 + 0.0, p0 * ones),
+        ivals)
+    kmu_ser = s0
+    kmu1_ser = s1 * (2.0 / xs)
+
+    # ---------- Steed CF2 branch (x >= 2) ----------
+    xc = jnp.where(small, jnp.asarray(2.0, dt), x)
+    a1 = 0.25 - mu2
+    b = 2.0 * (1.0 + xc)
+    d = 1.0 / b
+    h = d
+    delh = d
+    qc = jnp.full_like(xc, a1)
+
+    def cf_step(carry, i):
+        b, d, h, delh, q1, q2, a, c, qc, s = carry
+        a = a - 2.0 * (i - 1.0)
+        c = -a * c / i
+        qnew = (q1 - b * q2) / a
+        q1, q2 = q2, qnew
+        qc = qc + c * qnew
+        b = b + 2.0
+        d = 1.0 / (b + a * d)
+        delh = (b * d - 1.0) * delh
+        h = h + delh
+        s = s + qc * delh
+        return (b, d, h, delh, q1, q2, a, c, qc, s), None
+
+    cf0 = (b, d, h, delh, jnp.zeros_like(xc), jnp.ones_like(xc),
+           jnp.full_like(xc, -a1), jnp.full_like(xc, a1), qc,
+           1.0 + qc * delh)
+    jvals = jnp.arange(2, cf_iters + 2, dtype=dt)
+    (_, _, h, _, _, _, _, _, _, s), _ = jax.lax.scan(cf_step, cf0, jvals)
+    h = a1 * h
+    kmu_cf = jnp.sqrt(np.pi / (2.0 * xc)) * jnp.exp(-xc) / s
+    kmu1_cf = kmu_cf * (mu + xc + 0.5 - h) / xc
+
+    kmu = jnp.where(small, kmu_ser, kmu_cf)
+    kmu1 = jnp.where(small, kmu1_ser, kmu1_cf)
+
+    # ---------- static upward recurrence to order nu ----------
+    two_over_x = 2.0 / x
+    for j in range(n_rec):
+        kmu, kmu1 = kmu1, kmu + (mu + j + 1.0) * two_over_x * kmu1
+    return kmu
+
+
 class Matern(RBF):
-    R"""Matern kernel for ``nu`` in {0.5, 1.5, 2.5, inf}."""
+    R"""Matern kernel for any ``nu > 0`` (closed forms for
+    ``nu`` in {0.5, 1.5, 2.5, inf}; Temme-series :math:`K_\nu` otherwise —
+    the same general-``nu`` surface sklearn's Matern exposes via
+    scipy ``kv``, reference models.py:12)."""
+
+    _CLOSED_FORM_NU = (0.5, 1.5, 2.5, np.inf)
 
     def __init__(self, length_scale=1.0, length_scale_bounds=(1e-5, 1e5), nu=1.5):
         super().__init__(length_scale, length_scale_bounds)
+        if not np.isinf(nu):
+            nu = float(nu)
+            if not nu > 0:
+                raise ValueError('Matern needs nu > 0, got %r' % (nu,))
+            if nu > 100:
+                raise ValueError('Matern nu=%g: beyond nu~100 the kernel '
+                                 'is numerically the RBF limit — use '
+                                 'nu=inf' % nu)
         self.nu = nu
 
     def value_fn(self, theta, X, Y=None):
@@ -467,8 +598,19 @@ class Matern(RBF):
             return jnp.where(zero,
                              1.0 - (5.0 / 6.0) * sq + (25.0 / 24.0) * sq * sq,
                              (1. + K + K ** 2 / 3.0) * jnp.exp(-K))
-        raise NotImplementedError(
-            'Matern nu=%s not supported (use 0.5, 1.5, 2.5, or inf)' % self.nu)
+        # general real nu: k(d) = 2^{1-nu}/Gamma(nu) * u^nu * K_nu(u),
+        # u = sqrt(2 nu) d.  The zero guard pins coincident points to the
+        # exact limit 1 (K_nu diverges at 0 but u^nu K_nu(u) -> 2^{nu-1}
+        # Gamma(nu)); general-nu derivative observations are rejected by
+        # derivs.max_kernel_deriv_order, so the constant branch carrying
+        # no Taylor terms is safe.
+        from scipy.special import gammaln as _h_gammaln
+        nu = float(self.nu)
+        u = d * math.sqrt(2.0 * nu)
+        u_safe = jnp.where(zero, jnp.asarray(1.0, sq.dtype), u)
+        log_norm = (1.0 - nu) * math.log(2.0) - float(_h_gammaln(nu))
+        val = math.exp(log_norm) * u_safe ** nu * _kv_real_order(nu, u_safe)
+        return jnp.where(zero, jnp.asarray(1.0, sq.dtype), val)
 
     def __repr__(self):
         base = super().__repr__().replace('RBF', 'Matern')
