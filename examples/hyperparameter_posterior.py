@@ -62,9 +62,15 @@ def main():
     ap.add_argument('--out', default='.')
     ap.add_argument('--n-samples', type=int, default=2000)
     ap.add_argument('--n-chains', type=int, default=4)
+    ap.add_argument('--fast', action='store_true',
+                    help='tiny sizes for the suite smoke test')
     args = ap.parse_args()
 
     X, y, orders, Q, ref_scale = load(args.data)
+    n_warmup, thin = 500, 4
+    if args.fast:
+        args.n_samples, args.n_chains, n_warmup, thin = 16, 2, 16, 8
+        X, y, Q = X[::3], y[::3], Q[::3]
     Qbar = float(np.mean(Q))
 
     # lam rescales the breakdown: Q(lam) = Q(600 MeV) / lam, so the sampled
@@ -83,7 +89,7 @@ def main():
     t0 = time.perf_counter()
     samples, info = gm.sample_truncation_posterior(
         tgp, ratio_param='lam', q_bounds=(lam_lo, lam_hi),
-        n_chains=args.n_chains, n_samples=args.n_samples, n_warmup=500,
+        n_chains=args.n_chains, n_samples=args.n_samples, n_warmup=n_warmup,
         random_state=0, extra_log_prior=lambda x: -jnp.log(x[-1]))
     s = np.asarray(samples).reshape(-1, 2)
     ls_s, lam_s = np.exp(s[:, 0]), s[:, 1]
@@ -97,7 +103,7 @@ def main():
 
     # ---- the same density as one batched grid program ------------------
     t0 = time.perf_counter()
-    T, R = 80, 81
+    T, R = (6, 7) if args.fast else (80, 81)
     th_grid = np.linspace(np.log(0.05), np.log(3.0), T)
     lam_grid = np.linspace(lam_lo, lam_hi, R)
     ratios = np.stack([np.full(X.shape[0], Qbar / lam) for lam in lam_grid])
@@ -124,13 +130,14 @@ def main():
     # law of total variance, so hyperparameter + breakdown-scale
     # uncertainty is inside the band.
     k_fit = orders.max()
-    Xf = np.linspace(float(X.min()), float(X.max()), 60)[:, None]
+    n_f = 12 if args.fast else 60
+    Xf = np.linspace(float(X.min()), float(X.max()), n_f)[:, None]
     t0 = time.perf_counter()
     mean_fb, std_fb = gm.truncation_posterior_predictive(
-        tgp, Xf, k_fit, samples, ratio_param='lam', thin=4)
+        tgp, Xf, k_fit, samples, ratio_param='lam', thin=thin)
     mean_fb, std_fb = np.asarray(mean_fb), np.asarray(std_fb)
     print('posterior predictive: %d draws mixed in %.1f s'
-          % (s[::4].shape[0], time.perf_counter() - t0))
+          % (s[::thin].shape[0], time.perf_counter() - t0))
     m_map, s_map = tgp.predict(Xf, order=k_fit, kind='trunc',
                                return_std=True)
     m_map, s_map = np.asarray(m_map), np.asarray(s_map)

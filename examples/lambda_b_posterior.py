@@ -67,6 +67,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--data', default=DEFAULT_DATA)
     ap.add_argument('--out', default='/tmp/gsum_tpu_example')
+    ap.add_argument('--fast', action='store_true',
+                    help='coarse grid for the suite smoke test')
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
 
@@ -84,7 +86,7 @@ def main():
     E = sub['Energy'].to_numpy()
     ref = y[:, 0]                                        # LO as the scale
 
-    Lb_grid = np.arange(300.0, 1501.0, 2.0)
+    Lb_grid = np.arange(300.0, 1501.0, 40.0 if args.fast else 2.0)
     ratios = np.stack([expansion_parameter(E, Lb) for Lb in Lb_grid])
     logprior = lb_logprior(Lb_grid)
 

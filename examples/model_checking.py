@@ -35,13 +35,15 @@ import gsum_tpu as gm  # noqa: E402
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--out', default='/tmp/gsum_tpu_example')
+    ap.add_argument('--fast', action='store_true',
+                    help='tiny sizes for the suite smoke test')
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
 
     # ------------------------------------------------------------------
     # 1. MD^2 sampling distributions: chi^2 (GP) and scaled F (TP)
     # ------------------------------------------------------------------
-    n, df, n_samples = 20, 4, 4000
+    n, df, n_samples = (12, 4, 300) if args.fast else (20, 4, 4000)
     X = np.linspace(0, 1, n)[:, None]
     mean = np.zeros(n)
     cov = np.asarray((gm.RBF(0.05) + gm.WhiteKernel(1e-6, 'fixed'))(X))
@@ -71,7 +73,7 @@ def main():
     # 2. Error decompositions flag wrong hyperparameters
     # ------------------------------------------------------------------
     ls, noise = 0.8, 1e-5
-    n_dec, n_curves = 151, 6
+    n_dec, n_curves = (61, 4) if args.fast else (151, 6)
     X_dec = np.linspace(0, 3, n_dec)[:, None]
     test_mask = np.arange(n_dec) % 12 == 0
     gp_kwargs = dict(center=0, disp=0, df=np.inf, scale=1, optimizer=None)
@@ -92,7 +94,8 @@ def main():
         gp = gm.ConjugateGaussianProcess(model_kernel, **gp_kwargs)
         mean_d = np.zeros(test_mask.sum())
         cov_d = np.asarray(gp.cov(X_dec[test_mask]))
-        gd = gm.GraphicalDiagnostic(data[test_mask], mean_d, cov_d, nref=400)
+        gd = gm.GraphicalDiagnostic(data[test_mask], mean_d, cov_d,
+                                    nref=50 if args.fast else 400)
 
         axes[row, 0].plot(X_dec.ravel(), data, lw=0.8)
         axes[row, 0].set_title(f'{label}: curves', fontsize=9)
@@ -114,7 +117,8 @@ def main():
     data = np.asarray(gp.sample_y(X_dec, n_curves, random_state=3))
     mean_d = np.zeros(test_mask.sum())
     cov_d = np.asarray(gp.cov(X_dec[test_mask]))
-    gd = gm.GraphicalDiagnostic(data[test_mask], mean_d, cov_d, nref=400)
+    gd = gm.GraphicalDiagnostic(data[test_mask], mean_d, cov_d,
+                                nref=50 if args.fast else 400)
     fig, _ = gd.essentials()
     fig.savefig(os.path.join(args.out, 'essentials.png'), dpi=100)
     fig, _ = gd.plotzilla(X_dec[test_mask])

@@ -27,13 +27,15 @@ import gsum_tpu as gm  # noqa: E402
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--out', default='/tmp/gsum_tpu_example')
+    ap.add_argument('--fast', action='store_true',
+                    help='tiny sizes for the suite smoke test')
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
 
     ratio = 0.5
     n_orders = 4
     orders = np.arange(n_orders)
-    x = np.linspace(0, 1, 50)
+    x = np.linspace(0, 1, 30 if args.fast else 50)
     X = x[:, None]
     kernel = gm.RBF(0.25) + gm.WhiteKernel(1e-7, 'fixed')
 

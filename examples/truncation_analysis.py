@@ -44,10 +44,14 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--data', default=DEFAULT_DATA)
     ap.add_argument('--out', default='/tmp/gsum_tpu_example')
+    ap.add_argument('--fast', action='store_true',
+                    help='tiny sizes for the suite smoke test')
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
 
     E, X, y, orders, Q = load_data(args.data)
+    if args.fast:
+        E, X, y, Q = E[::2], X[::2], y[::2], Q[::2]
     ref_scale = y[:, 0]
     print(f'{len(E)} energies, orders {orders}')
 
@@ -88,7 +92,8 @@ def main():
     coeffs = np.asarray(tgp.coeffs_)
     cov = np.asarray(tgp.coeffs_process.cov(X))
     cov = cov + 1e-6 * np.max(np.diag(cov)) * np.eye(len(X))
-    gd = gm.GraphicalDiagnostic(coeffs, np.zeros(len(X)), cov, nref=500)
+    gd = gm.GraphicalDiagnostic(coeffs, np.zeros(len(X)), cov,
+                                nref=50 if args.fast else 500)
     fig, axes = gd.essentials()
     fig.savefig(os.path.join(args.out, 'diagnostics.png'), dpi=100)
     print('saved diagnostics.png')
@@ -99,8 +104,9 @@ def main():
     # ------------------------------------------------------------------
     from gsum_tpu.parallel import truncation_lml_grid
 
-    lams = np.linspace(0.6, 1.6, 24)
-    lss = np.linspace(0.2, 1.2, 24)
+    n_g = 5 if args.fast else 24
+    lams = np.linspace(0.6, 1.6, n_g)
+    lss = np.linspace(0.2, 1.2, n_g)
     ratios = np.stack([Q / lam for lam in lams])        # (R, N)
     thetas = np.log(lss)[:, None]
     t0 = time.time()
