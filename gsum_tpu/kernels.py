@@ -512,25 +512,44 @@ def _kv_real_order(nu, x, series_iters=34, cf_iters=72):
     delh = d
     qc = jnp.full_like(xc, a1)
 
+    cf_eps = 10.0 * float(np.finfo(np.dtype(dt)).eps)
+
     def cf_step(carry, i):
-        b, d, h, delh, q1, q2, a, c, qc, s = carry
-        a = a - 2.0 * (i - 1.0)
-        c = -a * c / i
-        qnew = (q1 - b * q2) / a
-        q1, q2 = q2, qnew
-        qc = qc + c * qnew
-        b = b + 2.0
-        d = 1.0 / (b + a * d)
-        delh = (b * d - 1.0) * delh
-        h = h + delh
-        s = s + qc * delh
-        return (b, d, h, delh, q1, q2, a, c, qc, s), None
+        b0, d0, h0, delh0, q10, q20, a0, c0, qc0, s0, done0 = carry
+        a = a0 - 2.0 * (i - 1.0)
+        c = -a * c0 / i
+        qnew = (q10 - b0 * q20) / a
+        q1, q2 = q20, qnew
+        qc = qc0 + c * qnew
+        b = b0 + 2.0
+        d = 1.0 / (b + a * d0)
+        delh = (b * d - 1.0) * delh0
+        h = h0 + delh
+        dels = qc * delh
+        s = s0 + dels
+        # joint rescale: the recurrences use (q1, q2) only through the
+        # product c*qnew, which is invariant under (q1, q2)/r, c*r —
+        # without it |c| reaches ~1e103 while |q2| falls to ~1e-93, far
+        # outside the f32 exponent range that bounds BOTH dtypes on TPU
+        # (f64 there is an f32-range emulation)
+        r = jnp.maximum(jnp.maximum(jnp.abs(q1), jnp.abs(q2)),
+                        jnp.asarray(1e-30, dt))
+        q1, q2, c = q1 / r, q2 / r, c * r
+        # freeze once converged: the CF tail DIVERGES past convergence
+        # (|qc| ~ 1e42 by trip 72 at x=30 — factorial growth the early-
+        # exit loop of a sequential implementation never sees), so the
+        # fixed-trip scan must stop updating, not just stop caring
+        done = done0 | (jnp.abs(dels) <= cf_eps * jnp.abs(s))
+        new = (b, d, h, delh, q1, q2, a, c, qc, s)
+        old = (b0, d0, h0, delh0, q10, q20, a0, c0, qc0, s0)
+        out = tuple(jnp.where(done0, o, n) for o, n in zip(old, new))
+        return out + (done,), None
 
     cf0 = (b, d, h, delh, jnp.zeros_like(xc), jnp.ones_like(xc),
            jnp.full_like(xc, -a1), jnp.full_like(xc, a1), qc,
-           1.0 + qc * delh)
+           1.0 + qc * delh, jnp.zeros(xc.shape, dtype=bool))
     jvals = jnp.arange(2, cf_iters + 2, dtype=dt)
-    (_, _, h, _, _, _, _, _, _, s), _ = jax.lax.scan(cf_step, cf0, jvals)
+    (_, _, h, _, _, _, _, _, _, s, _), _ = jax.lax.scan(cf_step, cf0, jvals)
     h = a1 * h
     kmu_cf = jnp.sqrt(np.pi / (2.0 * xc)) * jnp.exp(-xc) / s
     kmu1_cf = kmu_cf * (mu + xc + 0.5 - h) / xc
@@ -608,6 +627,15 @@ class Matern(RBF):
         nu = float(self.nu)
         u = d * math.sqrt(2.0 * nu)
         u_safe = jnp.where(zero, jnp.asarray(1.0, sq.dtype), u)
+        # range-aware floor: K_nu(u) ~ u^{-nu} overflows once
+        # u < range^(-1/nu), and on TPU even "f64" carries only the f32
+        # exponent range (an f32-pair emulation).  Below the floor the
+        # normalized kernel is 1 to far better than the arithmetic's own
+        # precision (1 - O(u^2) for nu > 1), so clamping loses nothing.
+        lim = -30.0 if (sq.dtype == jnp.float32
+                        or jax.default_backend() == 'tpu') else -250.0
+        u_safe = jnp.maximum(u_safe, jnp.asarray(10.0 ** (lim / nu),
+                                                 sq.dtype))
         log_norm = (1.0 - nu) * math.log(2.0) - float(_h_gammaln(nu))
         val = math.exp(log_norm) * u_safe ** nu * _kv_real_order(nu, u_safe)
         return jnp.where(zero, jnp.asarray(1.0, sq.dtype), val)
