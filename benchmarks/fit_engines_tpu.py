@@ -97,6 +97,15 @@ def main():
         # temps at once) — that window is why auto routes to 'blocked'.
     if '3' in legs:
         run('fit_B8_N4096_scalar', 4096, 8, 'scalar', 1, 5)
+    if '4' in legs:
+        # round 4: the fused solve+logdet custom VJP
+        # (ops.blockchol.blocked_spd_solve_logdet) replaced the
+        # factorization-internals adjoint that OOM-killed the compile
+        # service here — the blocked fit engine's N>2048 leg
+        run('fit_B4_N4096_blocked', 4096, 4, 'blocked', 4, 10)
+    if '5' in legs:
+        run('fit_B8_N4096_blocked', 4096, 8, 'blocked', 8, 10)
+        run('fit_B2_N8192_blocked', 8192, 2, 'blocked', 2, 10)
     print(json.dumps(results))
 
 

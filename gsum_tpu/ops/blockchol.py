@@ -39,7 +39,8 @@ from .. import _config  # noqa: F401
 from .smallchol import _cholesky_raw, _tri_inv_raw
 
 __all__ = ['batched_blocked_cholesky', 'blocked_chol_solve_logdet',
-           'blocked_solve_lower', 'blocked_factor', 'blocked_cho_solve']
+           'blocked_solve_lower', 'blocked_factor', 'blocked_cho_solve',
+           'blocked_spd_solve_logdet']
 
 _HI = jax.lax.Precision.HIGHEST
 _LOG_2PI = float(np.log(2 * np.pi))
@@ -67,10 +68,11 @@ def _factor_diag(Akk, leaf, engine, precision=_HI):
     """
     if engine == 'hier':
         return _factor_diag_hier(Akk, leaf, precision)
-    if engine in ('pallas', 'pallas_fori'):
+    if engine in ('pallas', 'pallas_fori', 'pallas_fused'):
         from .pallas_chol import chol_inv_block
 
-        return chol_inv_block(Akk, unroll=(engine != 'pallas_fori'))
+        return chol_inv_block(Akk, unroll=(engine != 'pallas_fori'),
+                              fuse_panel=(engine == 'pallas_fused'))
     L = _cholesky_raw(Akk, leaf)
     return L, _tri_inv_raw(L, leaf)
 
@@ -279,6 +281,123 @@ def _bbc_bwd(block, leaf, precision, diag, L, Lbar):
 
 
 batched_blocked_cholesky.defvjp(_bbc_fwd, _bbc_bwd)
+
+
+def _blocked_lower_solve(L, minvs, Y, precision=_HI):
+    """Solves ``L w = Y`` (blocked forward substitution) against the
+    factorization's diagonal-block inverses.  All shapes pre-padded."""
+    block = minvs[0].shape[-1]
+    nb = len(minvs)
+    w = jnp.zeros_like(Y)
+    for k in range(nb):
+        s = k * block
+        rhs = Y[..., s:s + block, :]
+        if k:
+            rhs = rhs - jnp.matmul(L[..., s:s + block, :s], w[..., :s, :],
+                                   precision=precision)
+        w = w.at[..., s:s + block, :].set(
+            jnp.matmul(minvs[k], rhs, precision=precision))
+    return w
+
+
+def _bssl_impl(K, Y, block, leaf, precision, diag):
+    """Factor + solve + logdet + success flag; also returns the padded
+    factor and diagonal-block inverses for the custom backward."""
+    N = K.shape[-1]
+    engine = _diag_engine(K, block, diag)
+    Kp, pad = _pad_spd(K, block)
+    Yp = Y
+    if pad:
+        Yp = jnp.concatenate(
+            [Y, jnp.zeros(Y.shape[:-2] + (pad, Y.shape[-1]), Y.dtype)],
+            axis=-2)
+    L, minvs = _blocked_factor(Kp, block, leaf, precision, engine)
+    d = jnp.diagonal(L, axis1=-2, axis2=-1)[..., :N]
+    ok = jnp.all(jnp.isfinite(d) & (d > 0), axis=-1)
+    w = _blocked_lower_solve(L, minvs, Yp, precision)
+    x = _solve_upperT_blocked(L, minvs, w, precision)
+    if pad:
+        x = x[..., :N, :]
+    logdet = 2.0 * jnp.sum(jnp.log(d), axis=-1)
+    return x, logdet, ok, L, minvs
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def blocked_spd_solve_logdet(K, Y, block=128, leaf=32,
+                             precision=jax.lax.Precision.HIGHEST,
+                             diag='auto'):
+    R"""``(K⁻¹Y, log|K|, ok)`` for batched SPD K with a hand-written
+    O(N/block)-HLO adjoint — the differentiable large-N lml core.
+
+    Why this exists: a log-marginal likelihood consumes the Cholesky
+    factorization only through the solve ``K⁻¹[y, basis]`` and
+    ``log|K|``, so this is the natural custom-VJP boundary.  Routing
+    autodiff through the factorization internals instead (custom-VJP
+    factor + custom-VJP per-block inverses + an autodiffed unrolled
+    substitution) multiplies the op count until the remote TPU compile
+    service is OOM-killed at N=4096 under an optimizer adjoint
+    (docs/perf.md round 3).  Here the backward is four blocked GEMM
+    passes reusing the forward's diagonal-block inverses:
+
+        M = L⁻¹            (one blocked N-RHS forward substitution)
+        Ȳ = K⁻¹ X̄ = Mᵀ(M X̄)
+        K̄ = l̄·MᵀM − Ȳ Xᵀ   (zeroed where ``ok`` is False)
+
+    ``ok`` (the per-matrix factorization-success flag) is an output:
+    callers mask ``-inf`` themselves and need NOT re-factor a
+    safe-substituted matrix — one factorization serves value, flag, and
+    gradient (the failed entries' NaNs are stopped at this boundary in
+    the backward pass).
+
+    Parameters as in :func:`batched_blocked_cholesky`; K is (..., N, N),
+    Y is (..., N, m).  reference analog: the potrf+potrs+slogdet
+    sequence inside gsum's lml (reference models.py:957-1039).
+    """
+    x, logdet, ok, _, _ = _bssl_impl(K, Y, block, leaf, precision, diag)
+    return x, logdet, ok
+
+
+def _bssl_fwd(K, Y, block, leaf, precision, diag):
+    x, logdet, ok, L, minvs = _bssl_impl(K, Y, block, leaf, precision, diag)
+    return (x, logdet, ok), (x, ok, L, tuple(minvs))
+
+
+def _bssl_bwd(block, leaf, precision, diag, res, cts):
+    x, ok, L, minvs = res
+    xbar, lbar, _ = cts            # ok is boolean — no cotangent
+    N = x.shape[-2]
+    Np = L.shape[-1]
+    pad = Np - N
+
+    def pad_rows(A):
+        if not pad:
+            return A
+        return jnp.concatenate(
+            [A, jnp.zeros(A.shape[:-2] + (pad, A.shape[-1]), A.dtype)],
+            axis=-2)
+
+    # M = L⁻¹ via one blocked N-RHS substitution (identity RHS); the
+    # padded tail is an identity block and inverts to itself.
+    eye = jnp.broadcast_to(jnp.eye(Np, dtype=L.dtype), L.shape)
+    M = _blocked_lower_solve(L, list(minvs), eye, precision)
+    Mt = jnp.swapaxes(M, -1, -2)
+
+    ybar = jnp.matmul(Mt, jnp.matmul(M, pad_rows(xbar), precision=_HI),
+                      precision=_HI)                       # K⁻¹ X̄
+    kinv = jnp.matmul(Mt, M, precision=_HI)
+    kbar = lbar[..., None, None] * kinv \
+        - jnp.matmul(ybar, jnp.swapaxes(pad_rows(x), -1, -2), precision=_HI)
+    if pad:
+        kbar = kbar[..., :N, :N]
+        ybar = ybar[..., :N, :]
+    # failed factorizations carry NaN through L/M: their cotangents are
+    # zero by construction (callers mask with ok), so zero the grads
+    # rather than propagate 0·NaN
+    okc = ok[..., None, None]
+    return (jnp.where(okc, kbar, 0.0), jnp.where(okc, ybar, 0.0))
+
+
+blocked_spd_solve_logdet.defvjp(_bssl_fwd, _bssl_bwd)
 
 
 def blocked_chol_solve_logdet(K, Y, block=256, leaf=32,

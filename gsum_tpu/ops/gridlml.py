@@ -110,48 +110,47 @@ def cgp_lml_grid(Rs, y, basis, center0, disp0, df0, scale0, leaf=16,
     disp0_zero = bool(np.all(disp0_np == 0))
     df0_inf = bool(np.isinf(df0))
 
-    if engine == 'scan':
-        from .scanchol import scan_blocked_cholesky, scan_cho_solve
-
-        L0, _ = scan_blocked_cholesky(Rs)
-    elif engine == 'blocked':
-        from .blockchol import (batched_blocked_cholesky, blocked_cho_solve,
-                                blocked_tri_inv_diag)
-
-        blk = 128 if block is None else int(block)
-        prec = _resolve_mxu_precision(mxu_precision)
-        L0 = batched_blocked_cholesky(Rs, block=blk, precision=prec)
-    else:
-        L0 = batched_small_cholesky(Rs, leaf)
-    diag = jnp.diagonal(L0, axis1=-2, axis2=-1)
-    ok = jnp.all(jnp.isfinite(diag) & (diag > 0), axis=-1)          # (G,)
-    eye = jnp.eye(N, dtype=dtype)
-    Rs_safe = jax.lax.optimization_barrier(jnp.where(ok[:, None, None], Rs, eye))
-    if engine == 'scan':
-        L, minvs = scan_blocked_cholesky(Rs_safe)
-        L = jax.lax.optimization_barrier(L)
-    elif engine == 'blocked':
-        # differentiable pair: custom-VJP factorization + custom-VJP
-        # diagonal-block inverses (the Pallas-kernel inverses have no VJP)
-        L = jax.lax.optimization_barrier(
-            batched_blocked_cholesky(Rs_safe, block=blk, precision=prec))
-        minvs = blocked_tri_inv_diag(L, block=blk)
-    else:
-        L = jax.lax.optimization_barrier(batched_small_cholesky(Rs_safe, leaf))
-
-    # Solves: R^{-1} y and R^{-1} B for every grid point
+    # RHS for the solves: R^{-1} y and R^{-1} B for every grid point
     if per_point_y:
         yB = jnp.concatenate(
             [y, jnp.broadcast_to(basis[None], (G,) + basis.shape)], axis=-1)
     else:
         yB = jnp.broadcast_to(
             jnp.concatenate([y, basis], axis=1)[None], (G, N, m + p))
-    if engine == 'scan':
-        invR_yB = scan_cho_solve(L, minvs, yB)
-    elif engine == 'blocked':
-        invR_yB = blocked_cho_solve(L, minvs, yB, precision=prec)
+
+    logdet_R = None
+    if engine == 'blocked':
+        # ONE factorization serves value, success flag, and gradient: the
+        # fused custom-VJP core's backward is four blocked GEMM passes
+        # instead of autodiff through the factorization internals (whose
+        # forward+adjoint HLO OOM-killed the remote compile service at
+        # N=4096 — docs/perf.md round 3/4)
+        from .blockchol import blocked_spd_solve_logdet
+
+        blk = 128 if block is None else int(block)
+        prec = _resolve_mxu_precision(mxu_precision)
+        invR_yB, logdet_R, ok = blocked_spd_solve_logdet(
+            Rs, yB, block=blk, precision=prec)
     else:
-        invR_yB = batched_cho_solve(L, yB, leaf)
+        if engine == 'scan':
+            from .scanchol import scan_blocked_cholesky, scan_cho_solve
+
+            L0, _ = scan_blocked_cholesky(Rs)
+        else:
+            L0 = batched_small_cholesky(Rs, leaf)
+        diag = jnp.diagonal(L0, axis1=-2, axis2=-1)
+        ok = jnp.all(jnp.isfinite(diag) & (diag > 0), axis=-1)      # (G,)
+        eye = jnp.eye(N, dtype=dtype)
+        Rs_safe = jax.lax.optimization_barrier(
+            jnp.where(ok[:, None, None], Rs, eye))
+        if engine == 'scan':
+            L, minvs = scan_blocked_cholesky(Rs_safe)
+            L = jax.lax.optimization_barrier(L)
+            invR_yB = scan_cho_solve(L, minvs, yB)
+        else:
+            L = jax.lax.optimization_barrier(
+                batched_small_cholesky(Rs_safe, leaf))
+            invR_yB = batched_cho_solve(L, yB, leaf)
     invR_y = invR_yB[..., :m]                                       # (G, N, m)
     invR_B = invR_yB[..., m:]                                       # (G, N, p)
 
@@ -206,8 +205,9 @@ def cgp_lml_grid(Rs, y, basis, center0, disp0, df0, scale0, leaf=16,
     quad_t = jnp.einsum('gnm,gnm->g', jnp.broadcast_to(y_t, alpha.shape),
                         alpha)
 
-    logdet_R = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)),
-                             axis=-1)
+    if logdet_R is None:
+        logdet_R = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)),
+                                 axis=-1)
     logdet_K = N * jnp.log(var) + logdet_R
     lml = -0.5 * (quad_t + m * (logdet_K + N * _LOG_2PI))
     return jnp.where(ok, lml, -jnp.inf)

@@ -509,12 +509,13 @@ def _batched_fit_wide(frozen, X, y_batch, basis, starts, lower, upper,
         grid_engine = {'grid': 'unrolled', 'scan': 'scan',
                        'blocked': 'blocked', 'scalar': None}[engine]
     use_grid_engine = grid_engine is not None
-    # Under the L-BFGS adjoint the blocked engine's compile cost grows
-    # with the unrolled step count; wider blocks at large N keep the
-    # forward+adjoint HLO inside the remote compile service's limits.
-    # Forward-only sweeps keep block=128 (the throughput optimum,
-    # docs/perf.md).
-    fit_block = None if N <= 1024 else 256
+    # block=128 is the throughput optimum (docs/perf.md) and, with the
+    # round-4 fused solve+logdet custom VJP, also the compile- and
+    # VMEM-safe choice under the L-BFGS adjoint: the round-3 block=256
+    # widening (an HLO-size mitigation for the old
+    # factorization-internals adjoint) tipped the 16M scoped-VMEM limit
+    # inside the linesearch program at N=4096 (16.37M measured).
+    fit_block = None
     if not use_grid_engine:
         scalar_lml = ConjugateGaussianProcess._make_lml_fn(
             frozen.value_fn, nugget, 'cholesky', c0, V0, df0, scale0)
