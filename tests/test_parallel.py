@@ -621,3 +621,121 @@ def test_batched_predict_and_posterior_at_sharded():
     m_l, s_l = batched_predict(kernel, post_l, X, y_b, Xnew)
     np.testing.assert_allclose(np.asarray(m_s), np.asarray(m_l), rtol=1e-12)
     np.testing.assert_allclose(np.asarray(s_s), np.asarray(s_l), rtol=1e-12)
+
+
+# ----------------------------------------------------------------------
+# Differentiable model-parallel path (r3 verdict #2): Gram core, CGP lml,
+# gradient, and a sharded MAP fit — all vs dense single-device references
+# ----------------------------------------------------------------------
+def _dense_cgp_lml_fn(kernel, X, y2, basis, c0, V0, df0, s0, nugget):
+    """Dense autodiff reference through the same Gram->lml algebra."""
+    from gsum_tpu.parallel.pchol import _cgp_lml_from_gram
+
+    N, m = y2.shape
+    Xj, yj, Bj = jnp.asarray(X), jnp.asarray(y2), jnp.asarray(basis)
+
+    def lml(th):
+        K = kernel.value_fn(th, Xj, None) + nugget * jnp.eye(N)
+        L = jnp.linalg.cholesky(K)
+        Z = jnp.concatenate([yj, Bj], axis=1)
+        W = jax.scipy.linalg.solve_triangular(L, Z, lower=True)
+        return _cgp_lml_from_gram(W.T @ W,
+                                  2.0 * jnp.sum(jnp.log(jnp.diagonal(L))),
+                                  N, m, c0, V0, df0, s0)
+
+    return lml
+
+
+def test_sharded_cgp_lml_matches_grid(mesh8):
+    """sharded_cgp_lml == cgp_lml_grid (the tested dense conjugate
+    algebra) at every prior corner: informative/zero disp0, finite/inf
+    df0."""
+    from gsum_tpu.ops.gridlml import cgp_lml_grid
+    from gsum_tpu.parallel.pchol import sharded_cgp_lml
+
+    rng = np.random.RandomState(11)
+    N, m = 256, 3
+    Xs = np.sort(rng.rand(N))[:, None]
+    ys = rng.randn(N, m) * 1.5
+    basis = np.column_stack([np.ones(N), Xs[:, 0]])
+    kernel = gm.Matern(0.3, (1e-2, 1e2), nu=1.5)
+    theta = jnp.asarray(kernel.theta)
+    nug = 1e-6
+    K = np.asarray(kernel.value_fn(theta, jnp.asarray(Xs), None)) \
+        + nug * np.eye(N)
+    c0, V0 = np.zeros(2), np.eye(2) * 4.0
+    for disp0, df0 in [(V0, 3.0), (np.zeros((2, 2)), 3.0), (V0, np.inf)]:
+        want = np.asarray(cgp_lml_grid(
+            jnp.asarray(K)[None], jnp.asarray(ys), jnp.asarray(basis),
+            c0, disp0, df0, 0.7))[0]
+        got = float(sharded_cgp_lml(
+            kernel.value_fn, theta, Xs, ys, basis, c0, disp0, df0, 0.7,
+            mesh8, nugget=nug))
+        np.testing.assert_allclose(got, want, rtol=1e-10)
+
+
+def test_sharded_cgp_lml_grad(mesh8):
+    """jax.grad through the forward-mode custom VJP equals dense autodiff
+    and central finite differences (r3 verdict #2: 'gradient FD-checked')."""
+    from gsum_tpu.parallel.pchol import sharded_cgp_lml
+
+    rng = np.random.RandomState(12)
+    N, m = 256, 2
+    Xs = np.sort(rng.rand(N))[:, None]
+    ys = rng.randn(N, m)
+    basis = np.ones((N, 1))
+    kernel = gm.Matern(0.3, (1e-2, 1e2), nu=1.5)
+    theta = jnp.asarray(kernel.theta)
+    nug = 1e-6
+    c0, V0, df0, s0 = np.zeros(1), np.eye(1) * 4.0, 3.0, 0.7
+
+    f = lambda th: sharded_cgp_lml(kernel.value_fn, th, Xs, ys, basis,
+                                   c0, V0, df0, s0, mesh8, nugget=nug)
+    dense = _dense_cgp_lml_fn(kernel, Xs, ys, basis, c0, V0, df0, s0, nug)
+    # rtol 1e-9: the 8-shard and dense factorizations accumulate in a
+    # different order; 4.5e-11 relative observed at N=256
+    np.testing.assert_allclose(float(f(theta)), float(dense(theta)),
+                               rtol=1e-9)
+    g_s = np.asarray(jax.grad(f)(theta))
+    g_d = np.asarray(jax.grad(dense)(theta))
+    np.testing.assert_allclose(g_s, g_d, rtol=1e-8)
+    eps = 1e-6
+    fd = (float(dense(theta + eps)) - float(dense(theta - eps))) / (2 * eps)
+    np.testing.assert_allclose(g_s[0], fd, rtol=1e-4)
+    # jitted value_and_grad is the optimizer's usage pattern
+    v, g = jax.jit(jax.value_and_grad(f))(theta)
+    np.testing.assert_allclose(float(v), float(dense(theta)), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(g), g_d, rtol=1e-8)
+
+
+def test_sharded_fit_matches_dense(mesh8):
+    """sharded_fit (model-parallel MAP) lands on the same interior optimum
+    as the dense fixed-trip L-BFGS through an identical objective."""
+    from gsum_tpu.optimize import fixed_lbfgs_bounded
+    from gsum_tpu.parallel.pchol import sharded_fit
+
+    rng = np.random.RandomState(13)
+    N, m = 256, 4
+    Xs = np.linspace(0, 1, N)[:, None]
+    gen = gm.Matern(0.2, (1e-2, 1e2), nu=1.5)
+    Kg = np.asarray(gen.value_fn(jnp.asarray(gen.theta),
+                                 jnp.asarray(Xs), None)) + 1e-8 * np.eye(N)
+    Lg = np.linalg.cholesky(Kg)
+    ys = Lg @ rng.randn(N, m)                 # on-model draws: interior opt
+    basis = np.ones((N, 1))
+    kernel = gm.Matern(0.5, (1e-2, 1e2), nu=1.5)
+    nug = 1e-8
+    c0, V0, df0, s0 = np.zeros(1), np.zeros((1, 1)), 3.0, 0.7
+
+    th_s, lml_s = sharded_fit(kernel, Xs, ys, basis, c0, V0, df0, s0,
+                              mesh8, nugget=nug, maxiter=30)
+    dense = _dense_cgp_lml_fn(kernel, Xs, ys, basis, c0, V0, df0, s0, nug)
+    b = np.asarray(kernel.bounds, float).reshape(-1, 2)
+    th_d, f_d = fixed_lbfgs_bounded(lambda t: -dense(t),
+                                    jnp.asarray(kernel.theta),
+                                    b[:, 0], b[:, 1], maxiter=30)
+    # interior optimum (not pinned at a bound)
+    assert b[0, 0] + 0.1 < float(th_d[0]) < b[0, 1] - 0.1
+    np.testing.assert_allclose(np.asarray(th_s), np.asarray(th_d),
+                               atol=1e-8)
+    np.testing.assert_allclose(float(lml_s), float(-f_d), rtol=1e-10)
