@@ -39,7 +39,7 @@ from .. import _config  # noqa: F401
 __all__ = ['chol_inv_block']
 
 
-def _make_kernel(nb, pb, unroll=False):
+def _make_kernel(nb, pb, unroll=False, fuse_panel=False):
     """Kernel factory: nb = block size, pb = panel width (static).
 
     ``unroll=True`` replaces the two pb-step ``fori_loop``s with Python
@@ -110,6 +110,42 @@ def _make_kernel(nb, pb, unroll=False):
                 return jnp.where(bc(rmask, M.shape), Mrow[:, None, :], M)
             return _loop(pb, stp, jnp.zeros_like(Ld))
 
+        def small_chol_inv(D):
+            """Fused factor+inverse: ONE pb-step recursion for both.
+
+            At column step jj, every row < jj of L is final, so the
+            substitution row jj of M = L⁻¹ can be produced immediately
+            after column jj of L — one serial chain of pb steps instead
+            of two, sharing the column mask and the pivot d (the serial
+            section is dispatch-overhead-bound on this chip, so halving
+            the step count is the win; A/B'd in benchmarks/fuse_ab_tpu.py).
+            """
+            def stp(jj, carry):
+                D, Ld, M = carry
+                cmask = (lanes_pp - jj) == 0                    # (1, pb)
+                colj = jnp.sum(jnp.where(bc(cmask, D.shape), D, 0.0),
+                               axis=2)                          # (G, pb)
+                d = jnp.sqrt(jnp.sum(jnp.where(bc(cmask, colj.shape),
+                                               colj, 0.0), axis=1))
+                col = colj / d[:, None]
+                col = jnp.where(bc((lanes_pp - jj) >= 0, col.shape),
+                                col, 0.0)
+                Ld = jnp.where(bc(cmask, Ld.shape), col[:, :, None], Ld)
+                D = D - col[:, :, None] * col[:, None, :]
+                # inverse row jj: L[jj, <jj] is final in Ld; pivot is d
+                rmask = (rows_pp - jj) == 0                     # (pb, pb)
+                Lrow = jnp.sum(jnp.where(bc(rmask, Ld.shape), Ld, 0.0),
+                               axis=1)                          # (G, pb)
+                Lrow_lt = jnp.where(bc((lanes_pp - jj) < 0, Lrow.shape),
+                                    Lrow, 0.0)
+                acc = jnp.sum(Lrow_lt[:, :, None] * M, axis=1)  # (G, pb)
+                Mrow = (bc(cmask, acc.shape).astype(dt) - acc) / d[:, None]
+                M = jnp.where(bc(rmask, M.shape), Mrow[:, None, :], M)
+                return D, Ld, M
+            _, Ld, M = _loop(pb, stp, (D, jnp.zeros_like(D),
+                                       jnp.zeros_like(D)))
+            return Ld, M
+
         # ---------------- factorization, panel by panel ----------------
         # Finished column blocks stream straight into l_ref (static-slice
         # stores): holding all panels + a final concat doubles VMEM and
@@ -119,8 +155,11 @@ def _make_kernel(nb, pb, unroll=False):
         for p in range(npan):
             j0 = p * pb
             D = Arest[:, j0:j0 + pb, :pb]                       # (G, pb, pb)
-            Ld = small_chol(D)
-            Md = small_inv(Ld)
+            if fuse_panel:
+                Ld, Md = small_chol_inv(D)
+            else:
+                Ld = small_chol(D)
+                Md = small_inv(Ld)
             diag_invs.append(Md)
             if j0:
                 l_ref[:, :j0, j0:j0 + pb] = jnp.zeros((G, j0, pb), dt)
@@ -163,8 +202,10 @@ def _make_kernel(nb, pb, unroll=False):
     return kernel
 
 
-@partial(jax.jit, static_argnames=('chunk', 'panel', 'interpret', 'unroll'))
-def chol_inv_block(A, chunk=None, panel=32, interpret=False, unroll=True):
+@partial(jax.jit, static_argnames=('chunk', 'panel', 'interpret', 'unroll',
+                                   'fuse_panel'))
+def chol_inv_block(A, chunk=None, panel=32, interpret=False, unroll=True,
+                   fuse_panel=False):
     R"""Cholesky factor and its inverse for a batch of SPD blocks.
 
     Parameters
@@ -182,6 +223,10 @@ def chol_inv_block(A, chunk=None, panel=32, interpret=False, unroll=True):
     interpret : run in Pallas interpreter mode (for CPU tests)
     unroll : unroll the per-panel rank-1 loops (default True — the serial
         steps are loop-overhead-bound on the chip; see ``_make_kernel``)
+    fuse_panel : produce the factor and its inverse from ONE pb-step
+        recursion per panel instead of two (the serial section is
+        dispatch-bound, so halving its step count is the candidate win;
+        default False until A/B-confirmed on chip)
 
     Returns
     -------
@@ -211,7 +256,7 @@ def chol_inv_block(A, chunk=None, panel=32, interpret=False, unroll=True):
                         lambda i: (i, np.int32(0), np.int32(0)),
                         memory_space=pltpu.VMEM)
     L, M = pl.pallas_call(
-        _make_kernel(nb, panel, unroll),
+        _make_kernel(nb, panel, unroll, fuse_panel),
         grid=(grid,),
         in_specs=[spec],
         out_specs=(spec, spec),
