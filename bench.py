@@ -161,6 +161,28 @@ def bench_16k(iters=2):
     return _timed_carry_loop(step, (X16,), iters=iters) * 1e3
 
 
+def bench_parity():
+    """On-device f64 parity vs frozen reference outputs (BASELINE north
+    star: rtol 1e-8).  Replays the pinned-theta pointwise-recap +
+    TruncationGP-band flow (benchmarks/parity_flow.py) through gsum_tpu on
+    whatever backend this process runs (the real TPU under the driver) and
+    returns the max norm-relative deviation from the values frozen off the
+    reference library (benchmarks/freeze_parity.py)."""
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                    'benchmarks'))
+    from parity_flow import FROZEN, max_rel, run_flow
+
+    import gsum_tpu as gm
+
+    rec = np.load(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               'benchmarks', FROZEN))
+    got = run_flow(gm, gm, rec['X'], rec['y'], rec['orders'], rec['Q'],
+                   rec['ref_scale'])
+    frozen = {k[4:]: rec[k] for k in rec.files if k.startswith('out_')}
+    worst, per = max_rel(got, frozen)
+    return worst
+
+
 def bench_reference_stack(N, d, m, repeats=2, n_mats=2):
     """The reference's execution model: sequential f64 LAPACK calls."""
     import scipy.linalg as sla
@@ -241,6 +263,12 @@ def main():
             extra['n16k_chol_ms'] = round(bench_16k(), 1)
         except Exception as e:
             extra['n16k_error'] = type(e).__name__
+    try:
+        # f64 parity vs frozen reference outputs, measured ON THE CHIP
+        # each round (north star: <= 1e-8)
+        extra['parity_max_rel'] = float('%.3g' % bench_parity())
+    except Exception as e:
+        extra['parity_error'] = type(e).__name__
 
     print(json.dumps({
         'metric': 'batched_cov_chol_logpdf_N%d_B%d' % (N, B),

@@ -29,7 +29,8 @@ compile where noted), NOT floor-corrected: at these problem sizes the
 latency anyway.
 
 Env: GSUM_SCALE_SMALL=1 -> tiny CPU smoke shapes;
-     GSUM_SCALE_LEGS=234 -> run only those legs (re-run economy).
+     GSUM_SCALE_LEGS=234 -> run only those legs (re-run economy);
+     leg "m" = the mixed-precision rerun of leg 1 (round 4).
 
 Run: python benchmarks/scale_tpu.py   (~30-50 min cold cache)
 """
@@ -76,6 +77,43 @@ def main():
         assert np.isfinite(lml).all()
         results['batched_fit_B10240_N128_s'] = round(dt, 1)
         results['batched_fit_B10240_N128_fits_per_s'] = round(B / dt, 1)
+        print(json.dumps(results), flush=True)
+
+    # ---- 1m. the same 10k-fit sweep under precision='mixed' -------------
+    # (round 4): the f32 lockstep sweep (~30x cheaper per multiply than
+    # emulated f64) followed by a per-fit f64 L-BFGS polish — the
+    # library's own recipe for exactly this workload.  Reports fits/s
+    # plus the achieved-lml agreement with the full-f64 engine on the
+    # first chunk (the lml at the MAP is the quantity users consume; the
+    # objective's flat top makes raw theta spread meaningless).
+    if 'm' in legs:
+        B, N = (64, 32) if small else (10240, 128)
+        X = np.linspace(0.0, 1.0, N)[:, None]
+        y_batch = (np.sin(3.0 * X.T + rng.rand(B, 1) * 6.28)
+                   + 0.1 * rng.randn(B, N)).astype(np.float64)
+        kernel = RBF(0.5, (1e-2, 1e2))
+
+        t0 = time.time()
+        post_m = batched_fit(kernel, X, y_batch, df=3, scale=1, maxiter=12,
+                             chunk=128, precision='mixed')
+        lml_m = np.asarray(post_m.lml)
+        dt_m = time.time() - t0
+        assert np.isfinite(lml_m).all()
+        results['batched_fit_B10240_N128_mixed_s'] = round(dt_m, 1)
+        results['batched_fit_B10240_N128_mixed_fits_per_s'] = \
+            round(B / dt_m, 1)
+
+        # full-f64 engine on the first chunk only (one compile + one
+        # chunk execution: enough for the accuracy comparison without
+        # paying the 1400 s full-f64 sweep again)
+        Bc = min(128, B)
+        post_64 = batched_fit(kernel, X, y_batch[:Bc], df=3, scale=1,
+                              maxiter=12, chunk=128)
+        lml_64 = np.asarray(post_64.lml)
+        dlml = np.abs(lml_m[:Bc] - lml_64)
+        results['mixed_vs_f64_lml_max_abs'] = float('%.3g' % dlml.max())
+        results['mixed_vs_f64_lml_max_rel'] = float(
+            '%.3g' % (dlml / np.abs(lml_64)).max())
         print(json.dumps(results), flush=True)
 
     # ---- 2. 10k-point hyperparameter-grid sweep at N=512, 2D kernel -----
