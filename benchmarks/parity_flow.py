@@ -73,21 +73,36 @@ def run_flow(mod, kmod, X, y, orders, Q, ref_scale):
         nugget=1e-8, optimizer=None)
     tgp.fit(Xg, yg, orders=orders)
     out['gp_coeffs'] = np.asarray(tgp.coeffs_, dtype=np.float64)
+    # Bands are evaluated at the training MIDPOINTS, not the training
+    # points themselves: at a training point the interp-branch predictive
+    # variance is a theoretical zero (K_nn - K_no K_oo^-1 K_on with
+    # X == Xc), so its computed value is pure cancellation roundoff —
+    # ~1e-10 abs on CPU f64 vs ~4e-9 on the TPU's double-double f64 —
+    # and comparing roundoff against roundoff at 1e-8 is ill-posed.  At
+    # the midpoints every compared quantity is an O(1) well-conditioned
+    # function of the inputs (measured cross-stack agreement <= 1e-9).
+    Xmid = 0.5 * (Xg[1:] + Xg[:-1])
     for order in (3, 5):
         # 'both' = GP interpolant of y_order (+) truncation-error band:
         # nontrivial mean AND std (the pure-trunc mean is identically 0
         # under this center=0 prior, useless for a relative comparison)
-        m, s = tgp.predict(Xg, order=order, return_std=True, kind='both')
+        m, s = tgp.predict(Xmid, order=order, return_std=True, kind='both')
         out['gp_band_mean_%d' % order] = np.asarray(m, dtype=np.float64)
         out['gp_band_std_%d' % order] = np.asarray(s, dtype=np.float64)
 
     # ---- joint (Q, ls) posterior-surface corners -------------------------
+    # Same every-3rd grid as the band flow: the full 15-point grid's RBF
+    # Gram at ls in {0.3, 0.6} has kappa ~ 1e9 (measured), so an lml
+    # there carries eps*kappa ~ 4e-6 solve noise in the TPU's
+    # double-double f64 — conditioning noise, not implementation error.
+    # On the 5-point grid kappa <= 1e5 at both corners (eps*kappa ~
+    # 4e-10), making the 1e-8 comparison well-posed.
     tgl = mod.TruncationGP(
         kernel=kmod.RBF(0.5, (1e-2, 1e2)),
-        ratio=lambda X_, lam=1.0: float(np.mean(Q)) / lam * np.ones(X_.shape[0]),
-        ref=float(np.mean(ref_scale)), center=0, disp=0, df=3, scale=1,
+        ratio=lambda X_, lam=1.0: float(np.mean(Qg)) / lam * np.ones(X_.shape[0]),
+        ref=float(np.mean(refg)), center=0, disp=0, df=3, scale=1,
         nugget=1e-8, optimizer=None)
-    tgl.fit(X, y, orders=orders)
+    tgl.fit(Xg, yg, orders=orders)
     out['gp_lml_grid'] = np.asarray(
         [[float(np.asarray(tgl.log_marginal_likelihood(
             np.log(np.array([ls])), lam=lam)))

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import _config  # noqa: F401
-from .linalg import solve_sqrt, spd_inv, spd_solve
+from .linalg import f64_precision, solve_sqrt, spd_inv, spd_solve
 
 __all__ = [
     'avg_y', 'num_y', 'compute_center', 'compute_disp', 'compute_df',
@@ -75,11 +75,12 @@ def compute_center(y, sqrt_R, basis, center0, disp0, decomposition='cholesky'):
     disp0_m = jnp.atleast_2d(jnp.asarray(disp0, dtype=jnp.result_type(float)))
     ybar = avg_y(y)
     ny = num_y(y)
-    invR_y_avg = solve_sqrt(sqrt_R, ybar, decomposition=decomposition)
-    disp = compute_disp(y=y, sqrt_R=sqrt_R, basis=basis, disp0=disp0,
-                        decomposition=decomposition)
-    factor = spd_solve(disp0_m, center0) + ny * basis.T @ invR_y_avg
-    return disp @ factor
+    with f64_precision(y.dtype):
+        invR_y_avg = solve_sqrt(sqrt_R, ybar, decomposition=decomposition)
+        disp = compute_disp(y=y, sqrt_R=sqrt_R, basis=basis, disp0=disp0,
+                            decomposition=decomposition)
+        factor = spd_solve(disp0_m, center0) + ny * basis.T @ invR_y_avg
+        return disp @ factor
 
 
 def compute_disp(y, sqrt_R, basis, disp0, decomposition='cholesky'):
@@ -89,8 +90,9 @@ def compute_disp(y, sqrt_R, basis, disp0, decomposition='cholesky'):
                          dtype=jnp.result_type(float))
     disp0 = jnp.atleast_2d(jnp.asarray(disp0, dtype=jnp.result_type(float)))
     ny = num_y(y)
-    quad = basis.T @ solve_sqrt(sqrt_R, basis, decomposition=decomposition)
-    return spd_inv(spd_inv(disp0) + ny * quad)
+    with f64_precision(jnp.asarray(y).dtype):
+        quad = basis.T @ solve_sqrt(sqrt_R, basis, decomposition=decomposition)
+        return spd_inv(spd_inv(disp0) + ny * quad)
 
 
 def compute_df(y, df0):
@@ -114,18 +116,20 @@ def compute_scale_sq(y, sqrt_R, basis, center0, disp0, df0, scale0,
     ny = num_y(y)
     center0 = jnp.atleast_1d(jnp.asarray(center0, dtype=y.dtype))
 
-    y_centered = y - ybar[:, None]
-    invR_yc = solve_sqrt(sqrt_R, y_centered, decomposition=decomposition)
-    quad = jnp.trace(y_centered.T @ invR_yc)
+    with f64_precision(y.dtype):
+        y_centered = y - ybar[:, None]
+        invR_yc = solve_sqrt(sqrt_R, y_centered, decomposition=decomposition)
+        quad = jnp.trace(y_centered.T @ invR_yc)
 
-    avg_y_centered = ybar - basis @ center0
-    disp = compute_disp(y=y, sqrt_R=sqrt_R, basis=basis, disp0=disp0,
-                        decomposition=decomposition)
-    invR_basis = solve_sqrt(sqrt_R, basis, decomposition=decomposition)
-    invR_avg_yc = solve_sqrt(sqrt_R, avg_y_centered, decomposition=decomposition)
-    mat = jnp.eye(N, dtype=y.dtype) - ny * invR_basis @ disp @ basis.T
-    mat_invR_avg_yc = ny * mat @ invR_avg_yc
-    quad2 = avg_y_centered @ mat_invR_avg_yc
+        avg_y_centered = ybar - basis @ center0
+        disp = compute_disp(y=y, sqrt_R=sqrt_R, basis=basis, disp0=disp0,
+                            decomposition=decomposition)
+        invR_basis = solve_sqrt(sqrt_R, basis, decomposition=decomposition)
+        invR_avg_yc = solve_sqrt(sqrt_R, avg_y_centered,
+                                 decomposition=decomposition)
+        mat = jnp.eye(N, dtype=y.dtype) - ny * invR_basis @ disp @ basis.T
+        mat_invR_avg_yc = ny * mat @ invR_avg_yc
+        quad2 = avg_y_centered @ mat_invR_avg_yc
 
     df = compute_df(y=y, df0=df0)
     return (df0 * jnp.asarray(scale0) ** 2 + quad + quad2) / df
@@ -147,22 +151,24 @@ def compute_scale_sq_v2(y, sqrt_R, basis, center0, disp0, df0, scale0,
     ny = num_y(y)
     center0 = jnp.atleast_1d(jnp.asarray(center0, dtype=y.dtype))
 
-    if _is_zero_disp(disp0):
-        center = center0
-        invR_diff0 = solve_sqrt(sqrt_R, 2 * ybar - basis @ center,
+    with f64_precision(y.dtype):
+        if _is_zero_disp(disp0):
+            center = center0
+            invR_diff0 = solve_sqrt(sqrt_R, 2 * ybar - basis @ center,
+                                    decomposition=decomposition)
+            mean_terms = -ny * center0 @ basis.T @ invR_diff0
+        else:
+            disp0_m = jnp.atleast_2d(jnp.asarray(disp0, dtype=y.dtype))
+            center = compute_center(y=y, sqrt_R=sqrt_R, basis=basis,
+                                    center0=center0, disp0=disp0,
+                                    decomposition=decomposition)
+            disp = compute_disp(y=y, sqrt_R=sqrt_R, basis=basis, disp0=disp0,
                                 decomposition=decomposition)
-        mean_terms = -ny * center0 @ basis.T @ invR_diff0
-    else:
-        disp0_m = jnp.atleast_2d(jnp.asarray(disp0, dtype=y.dtype))
-        center = compute_center(y=y, sqrt_R=sqrt_R, basis=basis, center0=center0,
-                                disp0=disp0, decomposition=decomposition)
-        disp = compute_disp(y=y, sqrt_R=sqrt_R, basis=basis, disp0=disp0,
-                            decomposition=decomposition)
-        mean_terms = center0 @ spd_solve(disp0_m, center0) \
-            - center @ spd_solve(disp, center)
+            mean_terms = center0 @ spd_solve(disp0_m, center0) \
+                - center @ spd_solve(disp, center)
 
-    invR_y = solve_sqrt(sqrt_R, y, decomposition=decomposition)
-    quad = jnp.trace(y.T @ invR_y)
+        invR_y = solve_sqrt(sqrt_R, y, decomposition=decomposition)
+        quad = jnp.trace(y.T @ invR_y)
     df = compute_df(y=y, df0=df0)
     return (df0 * jnp.asarray(scale0) ** 2 + mean_terms + quad) / df
 

@@ -30,6 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import _config  # noqa: F401
+from ._accmath import exp64
 
 __all__ = [
     'Hyperparameter', 'Kernel', 'ConstantKernel', 'WhiteKernel', 'RBF',
@@ -306,6 +307,8 @@ class Kernel:
             ', '.join(map('{0:.3g}'.format, np.exp(self.theta))))
 
     # Resolve free-vs-fixed parameter values given a traced theta vector.
+    # exp64, not jnp.exp: the TPU's f64 exp is f32-accurate on scalar
+    # shapes, and these scalars set the Gram matrix everywhere (_accmath).
     def _resolve(self, theta):
         vals = {}
         i = 0
@@ -316,9 +319,9 @@ class Kernel:
             else:
                 n = hp.n_elements
                 if n > 1:
-                    vals[hp.name] = jnp.exp(theta[i:i + n])
+                    vals[hp.name] = exp64(theta[i:i + n])
                 else:
-                    vals[hp.name] = jnp.exp(theta[i])
+                    vals[hp.name] = exp64(theta[i])
                 i += n
         return vals
 

@@ -27,8 +27,30 @@ __all__ = [
     'stabilize', 'cholesky', 'safe_cholesky', 'cho_solve', 'solve_sqrt',
     'pivoted_cholesky', 'cholesky_errors', 'mahalanobis', 'eigh_sqrt',
     'logdet_sqrt', 'spd_solve', 'spd_inv', 'spd_logdet', 'robust_spd_solve',
-    'robust_cholesky', 'robust_cho_solve', 'general_solve',
+    'robust_cholesky', 'robust_cho_solve', 'general_solve', 'f64_precision',
 ]
+
+
+def f64_precision(dtype):
+    """Matmul-precision scope for accuracy-critical contractions.
+
+    On this TPU backend a float64 ``jnp.matmul``/``einsum`` at DEFAULT
+    precision is only f32-accurate (measured: ~1e-6 absolute noise on
+    O(10) lml quad forms, vs 1e-12 at HIGHEST — the factorizations and
+    triangular solves themselves are fine; see docs/parity.md).  Every
+    f64 contraction in the library therefore traces inside this scope.
+    For f32 (and on CPU, where precision is ignored) it is a no-op, so
+    the measured f32 performance paths keep their backend-default rates.
+
+    Use as ``with f64_precision(x.dtype): ...`` around the contraction
+    code inside a traced function body — the scope must be active when
+    the ops are *traced*, so it belongs inside jitted closures, not
+    around their call sites.
+    """
+    if jnp.dtype(dtype) == jnp.float64:
+        return jax.default_matmul_precision('highest')
+    from contextlib import nullcontext
+    return nullcontext()
 
 
 def stabilize(M, jitter=1e-5):

@@ -29,7 +29,7 @@ from . import _config  # noqa: F401
 from . import conjugate as _conj
 from .helpers import coefficients, geometric_sum, hpd
 from .kernels import RBF, ConstantKernel, Kernel
-from .linalg import (eigh_sqrt, logdet_sqrt, robust_cho_solve,
+from .linalg import (eigh_sqrt, f64_precision, logdet_sqrt, robust_cho_solve,
                      robust_cholesky, robust_spd_solve, solve_sqrt,
                      spd_logdet, spd_solve)
 from .optimize import ConvergenceWarning, scipy_lbfgsb
@@ -945,17 +945,20 @@ class ConjugateGaussianProcess(BaseConjugateProcess):
             scale2 = _conj.compute_scale_sq(
                 y=y, sqrt_R=sqrt_R, basis=basis, center0=center0, disp0=disp0,
                 df0=df0, scale0=scale0, decomposition=decomposition)
-            mean = basis @ center
-            var = _conj.compute_cov_factor(scale_sq=scale2, df=df)
+            with f64_precision(R.dtype):
+                mean = basis @ center
+                var = _conj.compute_cov_factor(scale_sq=scale2, df=df)
 
-            logdet_R = logdet_sqrt(sqrt_R, decomposition)
-            logdet_K = N * jnp.log(var) + logdet_R
+                logdet_R = logdet_sqrt(sqrt_R, decomposition)
+                logdet_K = N * jnp.log(var) + logdet_R
 
-            y_train = y - mean[:, None]
-            # alpha = K^{-1} y_train = R^{-1} y_train / var
-            alpha = solve_sqrt(sqrt_R, y_train, decomposition=decomposition) / var
+                y_train = y - mean[:, None]
+                # alpha = K^{-1} y_train = R^{-1} y_train / var
+                alpha = solve_sqrt(sqrt_R, y_train,
+                                   decomposition=decomposition) / var
 
-            log_likelihood_dims = -0.5 * jnp.einsum('ik,ik->k', y_train, alpha)
+                log_likelihood_dims = -0.5 * jnp.einsum('ik,ik->k', y_train,
+                                                         alpha)
             log_likelihood_dims -= 0.5 * logdet_K
             log_likelihood_dims -= N / 2 * _LOG_2PI
             log_likelihood = log_likelihood_dims.sum(-1)
