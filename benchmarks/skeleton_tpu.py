@@ -67,16 +67,21 @@ def main():
                            for k in range(1, nb)))
 
     def gemm_skel(c, L):
+        # NOTE the square-before-reduce: consuming out[:, :8, :8] (the
+        # first version) lets XLA's algebraic simplifier rewrite
+        # slice(dot) -> dot(slices) and DCE ~all of the GEMM — measured
+        # 99.8 TF/s, 3.3x ABOVE the 6-pass ceiling, i.e. not a GEMM
+        # measurement at all.  sum(out*out) has no such rewrite.
         Lc = L + (1e-30 * jnp.sum(c)).astype(L.dtype)
-        acc = jnp.zeros((B, 8, 8), jnp.float32)
+        acc = jnp.zeros((), jnp.float32)
         for k in range(1, nb):
             s = k * blk
             hist = jax.lax.dynamic_slice(
                 Lc, (0, N - (N - s), 0), (B, N - s, s))   # rows s:, cols :s
             panl = jax.lax.dynamic_slice(Lc, (0, 0, 0), (B, s, blk))
             out = jnp.matmul(hist, panl, precision=_HI)
-            acc = acc + out[:, :8, :8]
-        return c + 1e-6 * jnp.sum(acc) * jnp.ones_like(c)
+            acc = acc + jnp.sum(out * out)
+        return c + 1e-6 * acc * jnp.ones_like(c)
 
     run_leg('gemm_skeleton', gemm_skel, gemm_flops, consts=(Lbuf,))
 
@@ -85,17 +90,18 @@ def main():
                            for k in range(nb)))
 
     def trsm_skel(c, L):
+        # square-before-reduce: see gemm_skel
         Lc = L + (1e-30 * jnp.sum(c)).astype(L.dtype)
         Minv = Lc[:, :blk, :blk]
-        acc = jnp.zeros((B, 8, 8), jnp.float32)
+        acc = jnp.zeros((), jnp.float32)
         for k in range(nb):
             s = (k + 1) * blk
             if s >= N:
                 continue
             below = jax.lax.dynamic_slice(Lc, (0, 0, 0), (B, N - s, blk))
             out = jnp.matmul(below, Minv, precision=_HI)
-            acc = acc + out[:, :8, :8]
-        return c + 1e-6 * jnp.sum(acc) * jnp.ones_like(c)
+            acc = acc + jnp.sum(out * out)
+        return c + 1e-6 * acc * jnp.ones_like(c)
 
     run_leg('trsm_skeleton', trsm_skel, trsm_flops, consts=(Lbuf,))
 
