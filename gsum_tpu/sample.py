@@ -85,7 +85,16 @@ def _make_hmc_programs(logdensity, d, n_leapfrog, init_step_size,
         return z_T, p_T
 
     def proposal(z, lp, eps, key):
-        key, kp, ku = jax.random.split(key, 3)
+        key, kp, ku, kj = jax.random.split(key, 4)
+        # Jitter the step size (hence trajectory length) uniformly over
+        # [0.5, 1.5]*eps per proposal (Neal 2011 §3.2): a FIXED length
+        # eps*L can resonate with a harmonic period of the target —
+        # observed on the (ls, Lambda_b) truncation posterior, where the
+        # trajectory matched the Lambda_b period and every proposal
+        # carried that coordinate back to its start (ESS ~ 2/1000).
+        # Randomizing the length breaks every such resonance; detailed
+        # balance holds because the jitter is independent of the state.
+        eps = eps * (0.5 + jax.random.uniform(kj, dtype=z.dtype))
         p = jax.random.normal(kp, (d,), dtype=z.dtype)
         z_new, p_new = leapfrog(z, p, eps)
         lp_new = logdensity(z_new)
@@ -365,7 +374,8 @@ def _segmented_chains(logdensity, z0, keys, n_samples, n_warmup, n_leapfrog,
 def sample_theta_posterior(gp, X=None, y=None, n_chains=4, n_samples=1000,
                            n_warmup=500, n_leapfrog=16, init_step_size=0.1,
                            target_accept=0.8, random_state=0,
-                           extra_log_prior=None, steps_per_call=None):
+                           extra_log_prior=None, steps_per_call=None,
+                           mesh=None, mesh_axis='model'):
     R"""HMC posterior over a conjugate process's kernel log-hyperparameters.
 
     The target is :math:`p(\theta\mid y) \propto \exp(\mathrm{lml}(\theta))`
@@ -389,6 +399,18 @@ def sample_theta_posterior(gp, X=None, y=None, n_chains=4, n_samples=1000,
     128 on TPU — the tunneled worker here kills overly long single
     executions — unsegmented elsewhere; 0 forces one program).
     Segmentation is an execution detail: the samples are identical.
+
+    ``mesh``/``mesh_axis``: model-parallel large-N path.  With a
+    :class:`jax.sharding.Mesh`, every lml (and each leapfrog gradient —
+    the forward-mode custom VJP is p JVP passes of the same program)
+    evaluates through :func:`gsum_tpu.parallel.sharded_cgp_lml`: the
+    (N, N) correlation matrix is built and factorized row-sharded over
+    ``mesh[mesh_axis]`` and never materialized on one device, so
+    full-Bayes hyperparameter posteriors stay available at the N=8k-16k
+    scales where the dense objective exceeds a single chip
+    (ConjugateGaussianProcess only; the reference has no counterpart —
+    its grids re-evaluate one dense LAPACK lml per point,
+    gsum/models.py:912-1057).
     """
     kernel = gp._kernel_for_lml()
     if kernel.n_dims == 0:
@@ -403,10 +425,32 @@ def sample_theta_posterior(gp, X=None, y=None, n_chains=4, n_samples=1000,
         basis = jnp.asarray(gp.basis_train_)
     else:
         basis = gp.basis(X_arr)
-    value, _ = gp._lml_closure(kernel)
 
-    def loglike(theta):
-        return value(theta, X_arr, y2, basis)
+    if mesh is not None:
+        from .models import (ConjugateGaussianProcess as _CGP,
+                             ConjugateStudentProcess as _CSP)
+        from .parallel.pchol import sharded_cgp_lml
+
+        if not isinstance(gp, _CGP) or isinstance(gp, _CSP):
+            raise TypeError('mesh-sharded sampling targets the '
+                            'ConjugateGaussianProcess lml')
+        if X is None and getattr(gp, 'dorders_', None) is not None:
+            raise ValueError('derivative training data is not supported '
+                             'in the sharded lml path')
+        value_fn = kernel.value_fn
+        c0 = np.atleast_1d(gp.center0)
+        V0 = np.atleast_2d(gp.disp0)
+        df0, scale0, nugget = gp.df0, gp.scale0, gp.nugget
+
+        def loglike(theta):
+            return sharded_cgp_lml(value_fn, theta, X_arr, y2, basis,
+                                   c0, V0, df0, scale0, mesh,
+                                   axis=mesh_axis, nugget=nugget)
+    else:
+        value, _ = gp._lml_closure(kernel)
+
+        def loglike(theta):
+            return value(theta, X_arr, y2, basis)
 
     return _run_bounded_hmc(
         loglike, np.asarray(kernel.bounds, dtype=float),

