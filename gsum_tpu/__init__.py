@@ -26,6 +26,7 @@ from .helpers import default_attributes
 from .helpers import cholesky_errors
 from .helpers import mahalanobis
 from .helpers import lazy_property
+from .helpers import lazy
 from .helpers import VariogramFourthRoot
 from .helpers import geometric_sum
 from .helpers import pivoted_cholesky

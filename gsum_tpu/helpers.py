@@ -25,7 +25,7 @@ __all__ = [
     'cartesian', 'toy_data', 'coefficients', 'partials', 'stabilize', 'geometric_sum',
     'predictions', 'gaussian', 'hpd', 'kl_gauss', 'rbf', 'default_attributes',
     'cholesky_errors', 'mahalanobis', 'VariogramFourthRoot', 'median_pdf', 'hpd_pdf',
-    'pivoted_cholesky', 'generate_coefficients', 'lazy_property',
+    'pivoted_cholesky', 'generate_coefficients', 'lazy_property', 'lazy',
 ]
 
 
@@ -326,6 +326,37 @@ def lazy_property(method):
     return getter
 
 
+def lazy(method):
+    R"""Legacy method memoizer keyed on ``y``/``corr_chol`` arguments
+    (API parity: reference helpers.py:389-413; superseded there and here
+    by :func:`lazy_property`, kept for completeness).
+
+    The wrapped method's result is cached on the instance.  ``y=`` and
+    ``corr_chol=`` keyword arguments fall back to ``self.y`` /
+    ``self._corr_chol`` when omitted; explicitly passing values that
+    differ from those attributes bypasses and refreshes the cache.
+    """
+    slot = f'_lazy_call_{method.__name__}'
+
+    @wraps(method)
+    def cached(self, *args, **kwargs):
+        refresh = False
+        fills = {}
+        for name, attr in (('y', 'y'), ('corr_chol', '_corr_chol')):
+            given = kwargs.pop(name, None)
+            default = getattr(self, attr)
+            if given is not None and not np.allclose(given, default):
+                refresh = True
+                fills[name] = given
+            else:
+                fills[name] = default
+        if refresh or not hasattr(self, slot):
+            setattr(self, slot, method(self, *args, **fills, **kwargs))
+        return getattr(self, slot)
+
+    return cached
+
+
 def default_attributes(**attr_map):
     R"""Substitute instance attributes for omitted method arguments.
 
@@ -372,22 +403,19 @@ def _fourth_root_corr(rho, corr_factor):
     R"""Correlation of 4th-root differences given the underlying rho:
     ``corr_factor * ((1 - rho²) · ₂F₁(¾, ¾; ½; rho²) - 1)``, clamped at ±1.
 
-    On the TPU backend the hypergeometric series is evaluated in float32:
-    the x64 rewriter cannot compile jax.scipy's f64 ``hyp2f1`` (its signbit
-    uses a 64-bit bitcast with no TPU lowering), and the variogram bands
-    are a plotting-path statistic where 1e-7 accuracy is ample (see
-    docs/parity.md).
+    The hypergeometric factor is this library's own restricted-domain
+    series (:func:`gsum_tpu._accmath.hyp2f1_variogram`, 1.8e-15 vs scipy
+    across [0, 1)) — pure elementwise polynomial arithmetic, so it is
+    full-f64 on every backend including TPU, where jax.scipy's f64
+    ``hyp2f1`` cannot lower (its signbit uses a 64-bit bitcast with no
+    TPU lowering).
     """
-    from jax.scipy.special import hyp2f1
+    from ._accmath import hyp2f1_variogram
 
     rho_sq = rho ** 2
     # hyp2f1 diverges for |rho| >= 1; clamp the argument and overwrite below
     safe = jnp.clip(rho_sq, 0.0, 1.0 - 1e-12)
-    if jax.default_backend() == 'tpu' and safe.dtype == jnp.float64:
-        h = hyp2f1(jnp.float32(0.75), jnp.float32(0.75), jnp.float32(0.5),
-                   safe.astype(jnp.float32)).astype(safe.dtype)
-    else:
-        h = hyp2f1(0.75, 0.75, 0.5, safe)
+    h = hyp2f1_variogram(safe)
     corr = ((1 - rho_sq) * h - 1) * corr_factor
     corr = jnp.where(rho >= 1., 1., corr)
     corr = jnp.where(rho <= -1., -1., corr)
@@ -427,10 +455,11 @@ class VariogramFourthRoot:
     R"""Empirical semivariogram with 4th-root-transform uncertainty bands.
 
     Bowman & Crujeiras (2013) / Cressie & Hawkins (1980) estimator.
-    reference: helpers.py:525-730.  The reference's recarray bookkeeping is
-    replaced by dense index arrays; the O(sum_b n_b^2) pair-of-pairs
-    covariance is evaluated as padded, masked batches on device with
-    ``jax.scipy.special.hyp2f1``.
+    reference: helpers.py:525-730.  The reference's recarray bookkeeping
+    and per-bin host loops are replaced by vectorized ``bincount``
+    segment means; the O(sum_b n_b^2) pair-of-pairs covariance is
+    evaluated as padded, masked batches on device with the library's own
+    f64-safe hypergeometric series (``_accmath.hyp2f1_variogram``).
 
     Parameters
     ----------
@@ -445,59 +474,53 @@ class VariogramFourthRoot:
 
     def __init__(self, X, z, bin_bounds):
         X = np.asarray(X)
-        bin_bounds = np.asarray(bin_bounds)
-        N = len(X)
-        hij = np.linalg.norm(X[:, None, :] - X, axis=-1)
-        bin_grid = np.digitize(hij, bin_bounds)  # NxN
-
         z = np.atleast_2d(np.asarray(z))
-        Ncurves = z.shape[0]
-        zi = z.T[:, None, :]   # (N, 1, Ncurves)
-        zj = z.T[None, :, :]   # (1, N, Ncurves)
-        dij_grid = np.sqrt(np.abs(zi - zj))  # (N, N, Ncurves)
+        bin_bounds = np.asarray(bin_bounds, dtype=float)
+        self.N = N = len(X)
+        self.Ncurves = z.shape[0]
+        self.Nb = n_bins = bin_bounds.size + 1
+        self.bin_labels = np.arange(n_bins)
 
-        # Unique unordered pairs i > j (lower triangle, no diagonal)
-        tri_i, tri_j = np.tril_indices(N, -1)
-        pair_h = hij[tri_i, tri_j]             # (n_pairs,)
-        pair_d = dij_grid[tri_i, tri_j]        # (n_pairs, Ncurves)
+        # One unordered pair per (i > j) lower-triangle entry; everything
+        # downstream works on these flat pair arrays.
+        hij = np.linalg.norm(X[:, None, :] - X[None, :, :], axis=-1)
+        self.pair_i, self.pair_j = tri = np.tril_indices(N, -1)
+        self.pair_h = hij[tri]                                # (n_pairs,)
+        self.pair_d = np.sqrt(np.abs(z.T[tri[0]] - z.T[tri[1]]))
 
-        Nb = len(bin_bounds) + 1
-        bin_labels = np.arange(Nb)
-        gamma_star_hat = np.full((Nb, Ncurves), np.nan)
+        # Vectorized binning: counts and segment sums via bincount — no
+        # per-bin host loop.  (bin_mask stays available for the pairwise
+        # covariance methods, which gather each bin's pair indices.)
+        self.bin_idx = np.digitize(self.pair_h, bin_bounds)
+        self.bin_mask = self.bin_labels[:, None] == self.bin_idx
+        self.bin_counts = counts = np.bincount(self.bin_idx,
+                                               minlength=n_bins)
+        occupied = counts > 0
+        denom = np.maximum(counts, 1).astype(float)
 
-        bin_locations = np.zeros(Nb)
-        bin_locations[1:-1] = (bin_bounds[1:] + bin_bounds[:-1]) / 2
-        bin_locations[0] = 2 * bin_bounds[0] - bin_locations[1]
-        bin_locations[-1] = 2 * bin_bounds[-1] - bin_locations[-2]
+        sums_d = np.zeros((n_bins, self.Ncurves))
+        np.add.at(sums_d, self.bin_idx, self.pair_d)
+        gamma_star_hat = np.where(occupied[:, None], sums_d / denom[:, None],
+                                  np.nan)
 
-        bin_idx = np.digitize(pair_h, bin_bounds)  # (n_pairs,)
-        bin_mask = bin_labels[:, None] == bin_idx  # (Nb, n_pairs)
-        bin_counts = np.sum(bin_mask, axis=-1)
+        # Bin abscissa: the mean pair distance where a bin is occupied,
+        # else the boundary midpoint (overflow bins get a midpoint
+        # extrapolated one half-width beyond the outermost boundary).
+        mids = np.empty(n_bins)
+        mids[1:-1] = 0.5 * (bin_bounds[:-1] + bin_bounds[1:])
+        mids[0] = 2.0 * bin_bounds[0] - mids[1]
+        mids[-1] = 2.0 * bin_bounds[-1] - mids[-2]
+        sums_h = np.bincount(self.bin_idx, weights=self.pair_h,
+                             minlength=n_bins)
+        self.bin_locations = np.where(occupied, sums_h / denom, mids)
 
-        for b, mask_b in enumerate(bin_mask):
-            if np.any(mask_b):
-                bin_locations[b] = np.average(pair_h[mask_b], axis=0)
-                gamma_star_hat[b] = np.average(pair_d[mask_b], axis=0)
-        gamma_tilde = self.variogram_scale(gamma_star_hat)
-        gamma_tilde_grid = gamma_tilde[bin_grid]  # (N, N, Ncurves)
-        gamma_star_mean = self.mean_factor * gamma_star_hat
-
-        self.N = N
-        self.Nb = Nb
-        self.Ncurves = Ncurves
-        self.pair_i = tri_i
-        self.pair_j = tri_j
-        self.pair_h = pair_h
-        self.pair_d = pair_d
-        self.bin_mask = bin_mask
-        self.bin_idx = bin_idx
-        self.bin_labels = bin_labels
-        self.bin_counts = bin_counts
-        self.bin_locations = bin_locations
         self.gamma_star_hat = gamma_star_hat
-        self.gamma_star_mean = gamma_star_mean
-        self.gamma_tilde = gamma_tilde
-        self.gamma_tilde_grid = jnp.asarray(gamma_tilde_grid)
+        self.gamma_star_mean = self.mean_factor * gamma_star_hat
+        self.gamma_tilde = self.variogram_scale(gamma_star_hat)
+        # [i, j]-indexable binned gamma-tilde lookup for the correlation
+        # estimates, resident on device for the batched covariance pass
+        self.gamma_tilde_grid = jnp.asarray(
+            self.gamma_tilde[np.digitize(hij, bin_bounds)])
 
     def rho_ijkl(self, i, j, k, l):
         R"""Correlation between (Z_i - Z_j) and (Z_k - Z_l) via gamma tilde.

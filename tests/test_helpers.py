@@ -151,6 +151,31 @@ def test_default_attributes():
     assert t.add() == 23
 
 
+def test_lazy_legacy_decorator():
+    """Reference helpers.py:389-413 semantics: cache keyed on the
+    y/corr_chol arguments, falling back to instance attributes."""
+    calls = []
+
+    class T:
+        def __init__(self):
+            self.y = np.array([1.0, 2.0])
+            self._corr_chol = np.eye(2)
+
+        @gm.lazy
+        def total(self, y=None, corr_chol=None):
+            calls.append(1)
+            return np.sum(y) + np.sum(corr_chol)
+
+    t = T()
+    assert t.total() == 5.0
+    assert t.total() == 5.0
+    assert len(calls) == 1                       # cached
+    assert t.total(y=np.array([1.0, 2.0])) == 5.0
+    assert len(calls) == 1                       # same y -> still cached
+    assert t.total(y=np.array([3.0, 4.0])) == 9.0
+    assert len(calls) == 2                       # new y -> recompute
+
+
 def test_lazy_property():
     calls = []
 
