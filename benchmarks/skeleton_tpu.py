@@ -8,7 +8,8 @@ algorithm's data dependencies:
     (B, N-s, s) @ (B, s, 128) for s = 128k, k=1..31 — the N^3/3 MXU
     content at its real (shape-dependent) rate, not the square-GEMM
     ceiling
-  - trsm_skeleton: the 32 panel GEMMs (B, N-s-128, 128) @ (B, 128, 128)
+  - trsm_skeleton: the 31 panel GEMMs (B, N-s-128, 128) @ (B, 128, 128)
+    (the k = 31 term has no rows below the diagonal block and is skipped)
   - diag32: 32 chained diagonal factor+inverse launches at (16, 128, 128)
   - store_skeleton: 32 dynamic_update_slice column-stripe writes into an
     HBM-resident (B, N, N) buffer

@@ -285,9 +285,10 @@ def test_chol_engine_blocked_threads_through_model(monkeypatch):
     # stopping points amplify that through the objective's flat top —
     # observed 4e-7 relative theta spread at this seed after the round-4
     # fused solve+logdet adjoint.  The lml/posterior agreement below is
-    # the meaningful equivalence; theta gets the flatness-bounded rtol.
+    # the meaningful equivalence; theta gets 2.5x margin over the
+    # observed spread (rtol 1e-6) so a real engine regression still trips.
     np.testing.assert_allclose(np.asarray(gp_b.kernel_.theta),
-                               np.asarray(gp_x.kernel_.theta), rtol=1e-5)
+                               np.asarray(gp_x.kernel_.theta), rtol=1e-6)
     # rtol: the recursive blocked factorization sums in a different order
     # than XLA's (observed ~8e-9 relative on this lml) — roundoff, not model
     np.testing.assert_allclose(
@@ -295,12 +296,12 @@ def test_chol_engine_blocked_threads_through_model(monkeypatch):
         float(np.asarray(gp_x.log_marginal_likelihood_value_)), rtol=1e-6)
     # predictions are evaluated at each engine's OWN fitted theta, so the
     # flatness-bounded theta spread above propagates (observed 2e-7 rel on
-    # the means at this seed) — same rtol as the theta comparison
+    # the means at this seed) — same 2.5x-margin rtol as the theta check
     mb, sb = gp_b.predict(X2, return_std=True)
     mx, sx = gp_x.predict(X2, return_std=True)
-    np.testing.assert_allclose(np.asarray(mb), np.asarray(mx), rtol=1e-5,
+    np.testing.assert_allclose(np.asarray(mb), np.asarray(mx), rtol=1e-6,
                                atol=1e-10)
-    np.testing.assert_allclose(np.asarray(sb), np.asarray(sx), rtol=1e-5,
+    np.testing.assert_allclose(np.asarray(sb), np.asarray(sx), rtol=1e-6,
                                atol=1e-10)
 
 
