@@ -104,7 +104,12 @@ def main():
         # service here — the blocked fit engine's N>2048 leg
         run('fit_B4_N4096_blocked', 4096, 4, 'blocked', 4, 10)
     if '5' in legs:
-        run('fit_B8_N4096_blocked', 4096, 8, 'blocked', 8, 10)
+        # chunk=4: ls_steps*chunk live diagonal blocks must stay under
+        # the measured 40-block scoped-VMEM cap of the Pallas kernel
+        # (chunk=8 x ls_steps=10 = 80 wanted 16.89M vs the 16M limit);
+        # batched_fit's auto cap now enforces this, the explicit 4
+        # documents it
+        run('fit_B8_N4096_blocked', 4096, 8, 'blocked', 4, 10)
         run('fit_B2_N8192_blocked', 8192, 2, 'blocked', 2, 10)
     print(json.dumps(results))
 

@@ -282,7 +282,7 @@ def _fit_one(lml_fn, value_fn, theta0, lower, upper, X, y2, basis,
 def batched_fit(kernel, X, y_batch, center=0, disp=0, df=1, scale=1,
                 nugget=1e-10, maxiter=100, theta0=None, mesh=None,
                 n_restarts=0, seed=0, chunk=128, basis=None, engine='auto',
-                ls_steps=10, precision='f64', polish_iters=15,
+                ls_steps=10, precision='f64', polish_iters=4,
                 mxu_precision=None):
     R"""MAP-fit a ConjugateGaussianProcess independently to each batch element.
 
@@ -338,7 +338,18 @@ def batched_fit(kernel, X, y_batch, center=0, disp=0, df=1, scale=1,
         optimum is within ~sqrt(eps32)≈3e-4 of the f64 MAP in theta for
         well-conditioned objectives, which the f64 polish then closes;
         single-device path only.
-    polish_iters : int — f64 polish steps per fit in 'mixed'
+    polish_iters : int — f64 polish steps per fit in 'mixed'.  Each
+        polish step costs the same as a full-f64 sweep step, so this
+        stays SMALL: the f32 sweep has already located the basin and
+        the polish only closes the f32->f64 gap (the old default of 15
+        made the polish alone longer than the f64 sweep it was meant
+        to avoid — 2218 s vs the f64 sweep's 1402 s on the 10,240-fit
+        N=128 workload; 4 measures 1511 s).  NOTE the measured domain
+        caveat (docs/perf.md scale table): at latency/compile-bound
+        sizes like N=128 'mixed' does NOT pay — its two programs double
+        the fixed compile + per-chunk dispatch costs that dominate
+        there.  The recipe's domain is compute-bound N (>= ~1024),
+        where the ~30x emulated-f64 multiply tax is the bottleneck.
     mxu_precision : None (= 'highest') | 'high' — MXU precision of the
         *blocked* engine's objective GEMMs (ignored by the other
         engines).  'high' (bf16x3) measures 13% faster at ~1e-3 relative
@@ -452,15 +463,21 @@ def _auto_fit_engine(dtype, N, backend):
       100 s cold vs the blocked engine's 43.5 s / 694 s (the blocked
       custom-VJP adjoint — two blocked N-RHS triangular solves plus a
       full GEMM — is ~9x the forward FLOPs);
-    - N <= 2048, f32 on TPU: 'blocked' — its window: the scalar
+    - 1024 < N <= 8192, f32 on TPU: 'blocked'.  At N=2048 the scalar
       objective's linesearch materializes ls_steps*chunk (N, N)
-      covariance temps at once and OOMs the 16 GB HBM at N=2048
-      (measured 15.8 GB program), while the leaner blocked objective
-      compiles and runs (95.9 s warm, B=4);
-    - above (and all f64): scalar — the blocked optimizer adjoint
-      SIGKILLs the remote compile service at N=4096 even though the
-      bare objective gradient compiles; shrink chunk/ls_steps to fit
-      HBM there (chunk=1, ls_steps=5 measured at N=4096).
+      covariance temps at once and OOMs the 16 GB HBM (measured 15.8 GB
+      program) while the blocked objective runs (95.9 s warm, B=4).
+      Past 2048 the round-4 fused solve+logdet custom VJP made the
+      blocked optimizer adjoint compile where the old
+      factorization-internals adjoint SIGKILLed the compile service:
+      measured round 5, N=4096 B=8 ls_steps=10 chunk=4 runs 449.9 s
+      cold / 106.0 s warm vs the scalar fallback's 785.9 s
+      (chunk=1, ls_steps=5 — its HBM-capped configuration), and
+      N=8192 B=2 chunk=2 completes (see docs/perf.md fit-engine
+      table);
+    - above (and all f64): scalar with chunk/ls_steps shrunk to fit
+      HBM (the blocked driver's unrolled HLO exceeds the compile
+      service's limits at N=16k, docs/perf.md).
     """
     if N <= 192:
         return 'unrolled'
@@ -468,7 +485,7 @@ def _auto_fit_engine(dtype, N, backend):
         return 'scan'
     if N <= 1024:
         return None
-    if N <= 2048 and dtype == jnp.float32 and backend == 'tpu':
+    if N <= 8192 and dtype == jnp.float32 and backend == 'tpu':
         return 'blocked'
     return None
 
@@ -521,6 +538,15 @@ def _batched_fit_wide(frozen, X, y_batch, basis, starts, lower, upper,
             frozen.value_fn, nugget, 'cholesky', c0, V0, df0, scale0)
         if jax.default_backend() == 'tpu' and chunk is not None:
             chunk = min(chunk, _scalar_chunk_cap(N, ls_steps, dtype))
+    elif grid_engine == 'blocked' and jax.default_backend() == 'tpu' \
+            and chunk is not None:
+        # VMEM cap for the blocked engine's Pallas diagonal kernel: the
+        # linesearch keeps ls_steps*chunk problems live, and
+        # chol_inv_block's scoped-VMEM stack grows with that batch —
+        # measured at N=4096 block=128: batch 40 fits, batch 80 wants
+        # 16.89M against the 16M scoped limit.  Cap at the measured-safe
+        # 40 live blocks (benchmarks/fit_engines_tpu.py round 5).
+        chunk = min(chunk, max(1, 40 // max(ls_steps, 1)))
 
     def run_chunk(Ys, T0):
         def fun_b(Thetas):

@@ -311,8 +311,8 @@ def test_pointwise_evidence_grid_sharded():
 
 def test_auto_fit_engine_thresholds():
     """The measured fit-engine routing table (benchmarks/fit_engines_tpu.py,
-    docs/perf.md round 3): grid to 192, scan to 640, scalar to 1024,
-    blocked (f32 + TPU only) to 2048, scalar above and for every f64 /
+    docs/perf.md rounds 3-5): grid to 192, scan to 640, scalar to 1024,
+    blocked (f32 + TPU only) to 8192, scalar above and for every f64 /
     non-TPU case."""
     from gsum_tpu.parallel.batched import _auto_fit_engine
 
@@ -324,14 +324,20 @@ def test_auto_fit_engine_thresholds():
     # scalar window: XLA's native adjoint beats the blocked custom VJP
     assert _auto_fit_engine(f32, 1024, 'tpu') is None
     assert _auto_fit_engine(f32, 768, 'tpu') is None
-    # blocked window: the scalar linesearch OOMs HBM here
+    # blocked window: the scalar linesearch OOMs HBM at 2048, and the
+    # round-4 fused solve+logdet adjoint made 4096-8192 compile AND beat
+    # the HBM-capped scalar fallback (r5: 106 s vs 160 s warm at N=4096
+    # B=8) — docs/perf.md fit-engine table
     assert _auto_fit_engine(f32, 1025, 'tpu') == 'blocked'
     assert _auto_fit_engine(f32, 2048, 'tpu') == 'blocked'
+    assert _auto_fit_engine(f32, 4096, 'tpu') == 'blocked'
+    assert _auto_fit_engine(f32, 8192, 'tpu') == 'blocked'
     # f64 and non-TPU never route to blocked
     assert _auto_fit_engine(f64, 2048, 'tpu') is None
     assert _auto_fit_engine(f32, 2048, 'cpu') is None
-    # past the blocked adjoint's compile limit: scalar
-    assert _auto_fit_engine(f32, 4096, 'tpu') is None
+    # past the measured window (N=16k: the blocked driver's unrolled
+    # HLO exceeds the compile service's limits): scalar
+    assert _auto_fit_engine(f32, 16384, 'tpu') is None
 
 
 def test_batched_fit_large_n_engine():
