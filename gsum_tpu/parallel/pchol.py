@@ -30,12 +30,18 @@ blocked forward substitution over the shard sequence plus a ``psum`` of
 the local log-determinant and Mahalanobis contributions.
 
 Validated exact-vs-dense on the 8-virtual-device CPU mesh at N=4096
-(tests/test_parallel.py) and N=8192 (one-off, round 3): agreement
-2.5e-10 relative at |lml| ~ 4e9 on a deliberately ill-conditioned RBF
-grid — i.e. f64 accumulation-order level.  (On the 1-core CPU host the
-8-shard emulation is of course slower than the dense solve — 132 s vs
-18 s at N=8192; the path exists for real multi-chip meshes where each
-shard has its own compute and HBM.)
+(tests/test_parallel.py) and N=8192 — value-only in round 3 (2.5e-10
+relative at |lml| ~ 4e9 on a deliberately ill-conditioned RBF grid),
+and the FULL MAP FIT in round 5: ``sharded_fit`` at N=8192 (Matern-1.5,
+m=2 curves, maxiter=8, ls_steps=5) lands within |dtheta| = 2.0e-6 of
+the dense fixed-trip L-BFGS through the identical objective
+(linesearch-acceptance noise), with the reported lml self-consistent
+against the dense objective at the sharded theta to 6.0e-9 relative
+and the two optima's lml values agreeing to 5.5e-9 — shard-vs-dense
+f64 accumulation order at this N and conditioning.  (On the 1-core CPU
+host the 8-shard emulation is of course slower than the dense solve;
+the path exists for real multi-chip meshes where each shard has its
+own compute and HBM.)
 
 This replaces nothing in the reference — gsum is a single-process NumPy
 library (reference gsum/models.py:969 does one LAPACK potrf); the sharded
