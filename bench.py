@@ -226,6 +226,14 @@ def bench_reference_stack(N, d, m, repeats=2, n_mats=2):
     return flops_chol_logpdf(1, N, d, m) / dt / 1e9
 
 
+def _stage(name):
+    """Stage progress on stderr: the remote compile service can take
+    minutes per fresh program, and without this a slow run is opaque
+    (the JSON line only appears at the very end)."""
+    print('[bench %s] %s' % (time.strftime('%H:%M:%S'), name),
+          file=sys.stderr, flush=True)
+
+
 def main():
     B, N, d, m = 16, 4096, 2, 8
     small = bool(os.environ.get('GSUM_BENCH_SMALL'))
@@ -236,6 +244,7 @@ def main():
     # occasionally drops a single execution (observed crashes/hangs on
     # this box), and a transient failure here would cost the whole
     # benchmark record
+    _stage('headline blocked pipeline')
     try:
         gflops, dt_blocked = bench_tpu(B, N, d, m, method='blocked')
     except Exception:
@@ -251,11 +260,13 @@ def main():
     extra = {'headline_ms': round(dt_blocked * 1e3, 2)}
     if not small:
         try:
+            _stage('baseline live reference stack')
             extra['baseline_live_gflops'] = round(
                 bench_reference_stack(N, d, m), 2)
         except Exception as e:
             extra['baseline_live_error'] = type(e).__name__
     try:
+        _stage('xla comparison pipeline')
         gflops_xla, _ = bench_tpu(B, N, d, m, method='xla')
         extra['blocked_vs_xla'] = round(gflops / gflops_xla, 3)
     except Exception as e:
@@ -265,6 +276,7 @@ def main():
         # (docs/perf.md round 3: ~1e-3 relative lml error)
         import jax as _jax
 
+        _stage('bf16x3 HIGH pipeline')
         gflops_high, dt_high = bench_tpu(
             B, N, d, m, method='blocked',
             precision=_jax.lax.Precision.HIGH)
@@ -272,20 +284,24 @@ def main():
     except Exception as e:
         extra['high_mxu_error'] = type(e).__name__
     try:
+        _stage('grid lml f32')
         extra['grid_lml_N256_f32_us'] = round(bench_grid_lml(256, 512,
                                                              'float32'), 2)
+        _stage('grid lml f64')
         extra['grid_lml_N256_f64_us'] = round(bench_grid_lml(256, 128,
                                                              'float64'), 1)
     except Exception as e:
         extra['grid_lml_error'] = type(e).__name__
     if not small:
         try:
+            _stage('n16k factorization')
             extra['n16k_chol_ms'] = round(bench_16k(), 1)
         except Exception as e:
             extra['n16k_error'] = type(e).__name__
     try:
         # f64 parity vs frozen reference outputs, measured ON THE CHIP
         # each round (north star: <= 1e-8)
+        _stage('f64 parity flow')
         extra['parity_max_rel'] = float('%.3g' % bench_parity())
     except Exception as e:
         extra['parity_error'] = type(e).__name__
